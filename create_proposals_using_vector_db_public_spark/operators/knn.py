@@ -1,0 +1,173 @@
+"""Exact and approximate nearest-neighbor search over an embedding column.
+
+Reference semantics (``app.py:178-186``, ``app_callapi.py:201-207``):
+- rank strictly by ascending L2 distance (FAISS ``IndexFlatL2`` is exact
+  brute force — Spark brute force is semantically identical, not an
+  approximation),
+- clamp k to the table size (``app.py:179``),
+- report cosine similarity per hit but NEVER reorder by it (vectors are
+  mean-pooled and unnormalized, so L2 order != cosine order in general —
+  SURVEY §7 trap 1),
+- assign a 1-based display rank (``app.py:183,189``).
+
+Scale notes (100 TB):
+- ``orderBy(dist).limit(k)`` compiles to ``TakeOrderedAndProject`` — each
+  partition keeps a k-sized heap, the driver merges P*k candidates. No full
+  sort, no shuffle of vectors. This is the right plan at any scale.
+- For many simultaneous queries use :func:`knn_join` (broadcast the query
+  side), and for sub-linear search :func:`ivf_search` / the LSH bucketing in
+  ``operators.dedup`` — both prune the scanned fraction instead of scanning
+  everything.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as V
+
+
+def knn(
+    df: DataFrame,
+    query_vec: Sequence[float] | Column,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by L2 distance, with cosine reported (not ranked by).
+
+    Returns the input columns (minus the raw vector) plus ``dist``,
+    ``cosine`` and 1-based ``rank``. Ties broken by ``id_col`` so results
+    are deterministic for the oracle.
+    """
+    q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
+    emb = V.as_double_array(vec_col)
+    dist = V.l2_dist(emb, q)
+    cos = V.cosine_sim(emb, q)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+        cos = F.round(cos, round_to)
+    out = (
+        df.withColumn("dist", dist)
+        .withColumn("cosine", cos)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    # rank over the k collected rows — cheap (k rows), single partition is fine
+    w = Window.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return out.withColumn("rank", F.row_number().over(w)).drop(vec_col)
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    query_vec_col: str = "query_vec",
+    query_id_col: str = "query_id",
+    corpus_vec_col: str = "embedding",
+    corpus_id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k per query for a (small) batch of queries: broadcast the query
+    side, one pass over the corpus, window top-k per query.
+
+    At scale the corpus is the 100 TB side and stays partitioned in place;
+    the queries are broadcast (they are user requests — tiny). The only
+    shuffle is on ``query_id`` for the per-query top-k, with k rows per
+    (partition, query) surviving the map side.
+    """
+    q = F.broadcast(
+        queries_df.select(
+            F.col(query_id_col),
+            V.as_double_array(query_vec_col).alias("__qv"),
+        )
+    )
+    c = corpus_df.select(
+        F.col(corpus_id_col), V.as_double_array(corpus_vec_col).alias("__cv")
+    )
+    joined = c.crossJoin(q).withColumn(
+        "dist", F.round(V.l2_dist(F.col("__cv"), F.col("__qv")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(corpus_id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, corpus_id_col, "dist", "rank")
+    )
+
+
+def ivf_assign(
+    corpus_df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_vec_col: str = "centroid_vec",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids are broadcast (there are hundreds-to-thousands of them even at
+    100 TB); assignment is a broadcast cross join + per-vector argmin via a
+    window — a single wide scan, shuffle only on the corpus id for the
+    argmin, which AQE coalesces.
+    """
+    cents = F.broadcast(
+        centroids_df.select(
+            F.col(centroid_id_col),
+            V.as_double_array(centroid_vec_col).alias("__cent"),
+        )
+    )
+    emb = V.as_double_array(vec_col)
+    scored = (
+        corpus_df.withColumn("__v", emb)
+        .crossJoin(cents)
+        .withColumn("__cdist", F.round(V.l2_dist(F.col("__v"), F.col("__cent")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cdist").asc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cent", "__v")
+        .withColumnRenamed("__cdist", "centroid_dist")
+    )
+
+
+def ivf_search(
+    corpus_df: DataFrame,
+    centroids_df: DataFrame,
+    query_vec: Sequence[float] | Column,
+    k: int,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_vec_col: str = "centroid_vec",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``n_probe`` centroids nearest the query,
+    brute-force search within their cells. At 100 TB with the corpus
+    pre-assigned and partitioned by ``centroid_id`` (see :func:`ivf_assign`),
+    partition pruning makes this scan ``n_probe / n_centroids`` of the data.
+    """
+    q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
+    assigned = ivf_assign(
+        corpus_df, centroids_df, vec_col, id_col, centroid_vec_col, centroid_id_col
+    )
+    probe = (
+        centroids_df.select(
+            F.col(centroid_id_col),
+            V.l2_dist(V.as_double_array(centroid_vec_col), q).alias("__qd"),
+        )
+        .orderBy(F.col("__qd").asc(), F.col(centroid_id_col).asc())
+        .limit(n_probe)
+        .select(centroid_id_col)
+    )
+    cell = assigned.join(F.broadcast(probe), on=centroid_id_col, how="inner")
+    return knn(cell, q, k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,10 @@
+from .registry import ORACLES, QUERIES, query  # noqa: F401
+
+# Import for registration side effects — each module fills QUERIES/ORACLES.
+from . import (  # noqa: F401,E402
+    dedup_queries,
+    ingest_queries,
+    relational_queries,
+    text_queries,
+    vector_queries,
+)

@@ -1,0 +1,46 @@
+"""Tiny helpers for composing DuckDB oracle SQL.
+
+These generate SQL *text* mirroring the engine's Column expressions in
+``functions.vectors`` / ``functions.hashing``. Both sides cast float32
+vector elements to double first and reduce sequentially (Spark
+``aggregate`` == DuckDB ``list_reduce``), so results are bit-identical and
+a fixed rounding makes the value-hash stable.
+"""
+
+from __future__ import annotations
+
+
+def dd(col: str) -> str:
+    """Cast a list<float> column to list<double>."""
+    return f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def d_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), p -> p[1]*p[2])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def d_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def d_l2(a: str, b: str) -> str:
+    return f"sqrt({d_l2sq(a, b)})"
+
+
+def d_norm(a: str) -> str:
+    return f"sqrt({d_dot(a, a)})"
+
+
+def d_cosine(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {d_norm(a)} * {d_norm(b)} <> 0.0 "
+        f"THEN {d_dot(a, b)} / ({d_norm(a)} * {d_norm(b)}) END"
+    )

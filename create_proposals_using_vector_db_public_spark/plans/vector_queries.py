@@ -1,0 +1,232 @@
+"""Vector-pipeline declared queries: exact kNN (the flagship), cosine
+reporting, multi-query kNN join, vector math, and IVF-style ANN.
+
+Reference parity: R17 (exact brute-force L2 top-k, ``app.py:178-180``),
+R18 (cosine reported but L2 order kept, ``app.py:184``), R19 (1-based rank,
+``app.py:183,189``). The ANN variants are the mandated scale path beyond the
+reference's flat index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as V
+from ..operators import knn as K
+from ..sources import load_table
+from .duck import d_cosine, d_dot, d_l2, d_norm, dd
+from .registry import query
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """Fetch one stored vector to use as the search query (a query parameter
+    — one driver-side row, independent of corpus scale)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+# The oracle mirrors knn(): dist/cosine computed in double with sequential
+# reduction, rounded to 6, ordered by (dist, vec_id), 1-based rank.
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist,
+         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, label, dist, cosine,
+       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY dist ASC, vec_id ASC
+LIMIT 5
+"""
+
+
+@query("q_knn", oracle=_KNN_ORACLE)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.knn(emb, _query_vec(spark, sf_dir, 0), k=5)
+
+
+_KNN_COS_ORACLE = f"""
+WITH q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 7
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist,
+         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, label, dist, cosine,
+       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_knn_cosine", oracle=_KNN_COS_ORACLE)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by L2 with cosine *reported*: the SURVEY §7 trap-1 semantics —
+    unnormalized vectors, so cosine order differs from L2 order, and the
+    engine must keep L2 order (reference ``app.py:183-184``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.knn(emb, _query_vec(spark, sf_dir, 7), k=10)
+
+
+_RANK_L2_ORACLE = f"""
+WITH q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 3
+), scored AS (
+  SELECT e.vec_id,
+         round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist
+  FROM embeddings e, q
+)
+SELECT vec_id, dist,
+       CAST(rank() OVER (ORDER BY dist ASC) AS INTEGER) AS dist_rank
+FROM scored
+ORDER BY dist ASC, vec_id ASC
+LIMIT 20
+"""
+
+
+@query("q_rank_l2", oracle=_RANK_L2_ORACLE)
+def q_rank_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() (gap semantics, ties share a rank) over L2 distance — R19
+    generalized to a real window function."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = V.vec_lit(_query_vec(spark, sf_dir, 3))
+    scored = emb.select(
+        "vec_id",
+        F.round(V.l2_dist(V.as_double_array("embedding"), qv), 6).alias("dist"),
+    )
+    # TakeOrdered top-20 FIRST (per-partition heaps, no global sort), then
+    # rank within the 20 survivors — identical to ranking globally because
+    # rank() only depends on rows with smaller dist, all of which survive.
+    top = scored.orderBy(F.col("dist").asc(), F.col("vec_id").asc()).limit(20)
+    w = Window.orderBy(F.col("dist").asc())
+    return top.withColumn("dist_rank", F.rank().over(w)).orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+
+
+_VEC_MATH_ORACLE = f"""
+WITH q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       round({d_norm(dd("e.embedding"))}, 6) AS l2_norm,
+       round({d_dot(dd("e.embedding"), "q.qv")}, 6) AS dot_q
+FROM embeddings e, q
+"""
+
+
+@query("q_vec_math", oracle=_VEC_MATH_ORACLE)
+def q_vec_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with/aggregate vector arithmetic (R17/R18 building blocks) over
+    the whole table — stays entirely in whole-stage codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = V.vec_lit(_query_vec(spark, sf_dir, 0))
+    e = V.as_double_array("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(V.l2_norm(e), 6).alias("l2_norm"),
+        F.round(V.dot(e, qv), 6).alias("dot_q"),
+    )
+
+
+_KNN_JOIN_ORACLE = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, {dd("embedding")} AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist
+  FROM embeddings e, queries q
+), ranked AS (
+  SELECT query_id, vec_id, dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@query("q_knn_join", oracle=_KNN_JOIN_ORACLE)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: broadcast a small query set against the corpus, top-3 per
+    query via window — the multi-query generalization of R17."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return K.knn_join(queries, emb, k=3)
+
+
+_ANN_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, {dd("embedding")} AS cv
+  FROM embeddings WHERE vec_id < 8
+), q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 11
+), assign_scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+         round({d_l2(dd("e.embedding"), "c.cv")}, 6) AS cdist
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, label, embedding, centroid_id
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdist ASC, centroid_id ASC
+    ) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+), probe AS (
+  SELECT c.centroid_id
+  FROM cents c, q
+  ORDER BY {d_l2("c.cv", "q.qv")} ASC, c.centroid_id ASC
+  LIMIT 2
+), cell AS (
+  SELECT a.* FROM assigned a JOIN probe p USING (centroid_id)
+), scored AS (
+  SELECT cell.vec_id, cell.label,
+         round({d_l2(dd("cell.embedding"), "q.qv")}, 6) AS dist,
+         round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) AS cosine
+  FROM cell, q
+)
+SELECT vec_id, label, dist, cosine,
+       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_ann_ivf", oracle=_ANN_IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to 8 centroids (deterministically the
+    first 8 vectors), probe the 2 cells nearest the query, exact search
+    inside. The scale path past the reference's flat index: with the corpus
+    partitioned by centroid_id, partition pruning scans n_probe/n_centroids
+    of 100 TB instead of all of it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    corpus = emb.select("vec_id", "label", "embedding")
+    out = K.ivf_search(
+        corpus, cents, _query_vec(spark, sf_dir, 11), k=10, n_probe=2
+    )
+    return out.select("vec_id", "label", "dist", "cosine", "rank")

@@ -1,0 +1,125 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle side-by-side,
+compares row count, column names/types (loosely), and order-insensitive
+values. Usage:
+
+    python tools/parity.py [sf_dir] [name ...]
+
+Defaults to /root/testdata/sf0.01 and all registered queries.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from create_proposals_using_vector_db_public_spark.plans import ORACLES, QUERIES
+from create_proposals_using_vector_db_public_spark.session import get_spark
+from create_proposals_using_vector_db_public_spark.sources import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            try:
+                if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+                    ok = (
+                        (av.isna() & bv.isna())
+                        | ((av - bv).abs() < 1e-9)
+                    ).all()
+                else:
+                    ok = (av.isna() & bv.isna() | (av == bv)).all()
+            except Exception as e:  # dtype mismatch etc.
+                ok = False
+                problems.append(f"col {c}: compare error {e}")
+                continue
+            if not ok:
+                bad = (~((av.isna() & bv.isna()) | (av.astype(str) == bv.astype(str)))).idxmax()
+                problems.append(
+                    f"col {c}: value mismatch e.g. row {bad}: spark={av[bad]!r} duck={bv[bad]!r}"
+                )
+    # dtype sanity (the driver also compares schema)
+    for c in a.columns:
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        if {sk, dk} not in ({sk}, {"i", "f"}) and sk != dk:
+            if {sk, dk} == {"i", "f"} or {sk, dk} == {"O", "O"}:
+                continue
+            problems.append(f"col {c}: dtype spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(QUERIES)
+    spark = get_spark("parity", shuffle_partitions=8)
+    con = duck_connect(sf_dir)
+    failed = []
+    for name in names:
+        t0 = time.time()
+        try:
+            spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        if name not in ORACLES:
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            if len(spark_pdf) == 0:
+                print(f"WARN {name}: 0 rows")
+            continue
+        try:
+            duck_pdf = con.sql(ORACLES[name]).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names)-len(failed)}/{len(names)} pass")
+    if failed:
+        print("failed:", " ".join(failed))
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
