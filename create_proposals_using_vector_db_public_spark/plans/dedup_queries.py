@@ -1,1 +1,303 @@
-"""Placeholder — filled in as operators land."""
+"""Near-duplicate-detection declared queries (north-star dedup family).
+
+Each query runs over a *planted corpus*: the documents (or embeddings)
+table unioned with deterministic copies/near-copies, so every dedup
+operator provably finds the planted duplicates and the oracle reproduces the
+construction exactly:
+
+- exact copies: doc_id + 100000, same text          (doc_id % 50 == 0)
+- near copies:  doc_id + 200000, text + fixed tail  (doc_id % 70 == 0)
+
+All hashing is md5-derived (functions.hashing), so MinHash / SimHash / LSH
+buckets are bit-identical across engines — the checks are value-exact, not
+statistical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources import load_table
+from .duck import d_cosine, dd
+from .registry import query
+
+NEAR_SUFFIX = " extra appended tail"
+NUM_HASHES = 8
+BANDS = 2
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    nears = d.filter(F.col("doc_id") % 70 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(copies).unionByName(nears)
+
+
+_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 70 = 0
+)
+"""
+
+# DuckDB fragments mirroring functions.text exactly
+_WORDS = (
+    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
+    "w -> trim(w)), w -> length(w) > 0)"
+)
+_SHINGLES = (
+    "CASE WHEN len(words) >= 3 THEN "
+    "list_transform(range(1, len(words) - 1), "
+    "i -> array_to_string(words[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+
+
+def _d_h64(expr: str, seed: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('s{seed}:', {expr})), 1, 15)) "
+        f"AS BIGINT)"
+    )
+
+
+def _minhash_sql() -> str:
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> {_d_h64('s', j)})) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    return f"""
+words_t AS (
+  SELECT doc_id, {_WORDS} AS words FROM corpus
+), shingles_t AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM words_t
+), sigs AS (
+  SELECT doc_id,
+         {mh}
+  FROM shingles_t
+)"""
+
+
+def _band_hash_sql(band: int) -> str:
+    r = NUM_HASHES // BANDS
+    cols = ", ".join(f"mh{j}::VARCHAR" for j in range(band * r, (band + 1) * r))
+    return f"md5(concat_ws(':', {cols}))"
+
+
+_MINHASH_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+{_minhash_sql().strip()},
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {', '.join(f'mh{j}' for j in range(NUM_HASHES))}, "
+    f"{b} AS band_idx, {_band_hash_sql(b)} AS band_hash "
+    f"FROM sigs WHERE mh0 IS NOT NULL"
+    for b in range(BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(({" + ".join(
+           f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+           for j in range(NUM_HASHES)
+         )}) / {float(NUM_HASHES)}, 6) AS est_jaccard
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+"""
+
+
+@query("q_dedup_minhash", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(2 bands) near-dup pairs over the planted corpus.
+    Signatures are row-local (array_min over hashed shingles — no explode,
+    no shuffle); the only shuffle is the band-bucket self-join, which is
+    what makes this O(n·bucket) instead of O(n²) at 100 TB."""
+    return D.minhash_dedup_pairs(
+        _corpus(spark, sf_dir), id_col="doc_id", text_col="text", threshold=0.5
+    )
+
+
+def _simhash_sql() -> str:
+    # hash-once form mirroring operators.dedup.simhash_signatures
+    bit_cnts = ",\n         ".join(
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    sh = " + ".join(
+        f"(CASE WHEN c{b} * 2 > n THEN {1 << b} ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+words_raw AS (
+  SELECT doc_id, {_WORDS} AS words FROM corpus
+), feats AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS f FROM words_raw
+), hashed AS (
+  SELECT doc_id, md5(f) AS h FROM feats
+), cnts AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_cnts}
+  FROM hashed GROUP BY doc_id
+), sh_t AS (
+  SELECT doc_id, CAST({sh} AS BIGINT) AS sh FROM cnts
+)"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+{_simhash_sql().strip()},
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, sh, {i} AS band_idx, (sh // {256 ** i}) % 256 AS band_val "
+    f"FROM sh_t"
+    for i in range(4)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs, byte-band blocked (Hamming ≤ 3 over
+    32 bits ⇒ ≥1 of 4 bytes equal, so the blocking loses no true pair)."""
+    return D.simhash_dedup_pairs(
+        _corpus(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+base AS (
+  SELECT doc_id,
+         md5(substr(text, 1, 20)) AS block,
+         list_distinct(
+           CASE WHEN length(text) >= 5 THEN
+             list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
+           ELSE [] END
+         ) AS grams
+  FROM corpus
+  WHERE length(text) >= 5
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+             6) AS jaccard
+FROM base a
+JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+            6) >= 0.6
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard ≥ 0.6 between docs sharing a 20-char-prefix
+    block — LSH-free verify-style dedup with a cheap blocking key."""
+    return D.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=5,
+        block_chars=20,
+        threshold=0.6,
+    )
+
+
+_EMB_CORPUS_SQL = """
+vcorpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+"""
+
+_EMB_DEDUP_ORACLE = f"""
+WITH {_EMB_CORPUS_SQL.strip()},
+base AS (
+  SELECT vec_id, label, {dd("embedding")} AS v FROM vcorpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({d_cosine("a.v", "b.v")}, 6) AS cosine
+FROM base a
+JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({d_cosine("a.v", "b.v")}, 6) >= 0.9
+"""
+
+
+@query("q_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.9), label-blocked. Finds exactly
+    the planted duplicate vectors (cosine 1.0); blocking bounds the pair
+    space the way an LSH bucket would at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = e.select("vec_id", "label", "embedding").unionByName(copies)
+    return D.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.9,
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_filter(list_transform(string_split_regex(lower(text), '\\s+'),
+                                      w -> trim(w)), w -> length(w) > 0),
+           ' ')) AS fingerprint
+  FROM corpus
+)
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT) AS dup_cnt,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+"""
+
+
+@query("q_dedup_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-hash exact dedup: md5 of lowercased whitespace-
+    normalized text; groups with count > 1 are duplicate clusters (keeper =
+    min doc_id). Only the 16-byte fingerprint shuffles, never the text."""
+    from ..functions import text as T
+
+    c = _corpus(spark, sf_dir)
+    return (
+        c.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("dup_cnt"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("dup_cnt") > 1)
+    )

@@ -1,1 +1,530 @@
-"""Placeholder — filled in as operators land."""
+"""Relational-substrate declared queries over the driver star schema.
+
+These are the [extension] inventory of SURVEY.md §2B: the relational
+primitives every 2A operator decomposes into, each as a declared,
+oracle-checked query. Scale notes are per-query; the common themes:
+filters/projections push to the parquet scan, small dimensions broadcast,
+aggregations are partial+final automatically, and AQE handles skew.
+
+Type parity rules with DuckDB (learned empirically, see tools/parity.py):
+- DuckDB ``sum(INTEGER)`` → HUGEINT, so oracles cast to BIGINT,
+- both engines' ``count(*)`` → BIGINT,
+- float aggregates rounded on both sides (SURVEY §7 trap 5),
+- ``row_number``/``rank`` cast to INTEGER in oracles (Spark emits int32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import query
+
+
+# --- scans / projection / filter -------------------------------------------
+
+_SCAN_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue,
+       l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+  AND l_shipdate <  TIMESTAMP '1995-09-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q_scan_filter", oracle=_SCAN_FILTER_ORACLE)
+def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan: every predicate and the 6-column projection
+    push down to the parquet reader (verified via .explain: PushedFilters +
+    pruned ReadSchema) — at 100 TB this reads a fraction of the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-06-01")
+        & (F.col("l_shipdate") < "1995-09-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        "l_returnflag",
+    )
+
+
+_PROJECT_ORACLE = """
+SELECT o_orderkey,
+       round(o_totalprice * 1.1, 2) AS taxed_price,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
+FROM orders
+WHERE o_orderstatus = 'O'
+"""
+
+
+@query("q_project", oracle=_PROJECT_ORACLE)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("taxed_price"),
+        F.year("o_orderdate").alias("order_year"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+_JOIN_BROADCAST_ORACLE = """
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name <> 'EUROPE'
+"""
+
+
+@query("q_join_broadcast", oracle=_JOIN_BROADCAST_ORACLE)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension⋈dimension with an explicit broadcast hint — zero shuffle.
+    At 100 TB the same hint keeps any fact⋈small-dim join shuffle-free."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") != "EUROPE")
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+_JOIN_SHUFFLE_ORACLE = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o.o_totalprice), 2) AS total_spend
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("q_join_shuffle", oracle=_JOIN_SHUFFLE_ORACLE)
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact⋈dim star join + aggregation. orders⋈customer shuffles on
+    custkey (both large at scale); nation broadcasts; the groupBy is
+    partial+final so only 25 rows cross the last shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1995-01-01"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+@query("q_semi", oracle=_SEMI_ORACLE)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+@query("q_anti", oracle=_ANTI_ORACLE)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value orders — the anti-join shape used by the
+    ingest pipeline's unchanged-file skip (R11) and key dedup (R9). The
+    filter keeps the result non-empty at every SF (an unconditioned version
+    matches zero rows — every customer has some order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_OUTER_ORACLE = """
+SELECT c.c_custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS order_cnt,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@query("q_outer", oracle=_OUTER_ORACLE)
+def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# --- aggregation ------------------------------------------------------------
+
+_AGG_BASIC_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_basic", oracle=_AGG_BASIC_ORACLE)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide-scan aggregation. Partial aggregation
+    (map-side combine) means only |groups| x |partitions| rows shuffle —
+    the plan that survives 100x scale unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+_AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_distinct", oracle=_AGG_DISTINCT_ORACLE)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@query("q_approx_distinct")  # no oracle: HLL estimates are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — at 100 TB the exact-distinct shuffle is the
+    bottleneck and HLL sketches are the answer; estimates differ per engine
+    so the driver records a rows-only check (group count is exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+         AS grouping_lvl
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_rollup", oracle=_ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (
+            F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+        ).cast("bigint").alias("grouping_lvl"),
+    )
+
+
+# --- window -----------------------------------------------------------------
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice, order_rank
+FROM (
+  SELECT o.o_custkey AS c_custkey, o.o_orderkey, o.o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o.o_custkey
+           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         ) AS INTEGER) AS order_rank
+  FROM orders o
+)
+WHERE order_rank <= 3
+"""
+
+
+@query("q_topk_per_group", oracle=_TOPK_PER_GROUP_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Partitioned window — shuffles once on
+    custkey, streams each partition; no global sort. The R19 rank
+    generalized to grouped ranking."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("order_rank", F.row_number().over(w))
+        .filter(F.col("order_rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "order_rank",
+        )
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS running_value,
+       CAST(lag(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       ) AS VARCHAR) AS prev_type
+FROM events
+WHERE user_id < 50
+"""
+
+
+@query("q_window_running", oracle=_WINDOW_RUNNING_ORACLE)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per user over event time — the sessionization
+    building block; one shuffle on user_id. Orders by ts_us (bigint µs) to
+    match the oracle's µs timestamp precision exactly."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+# --- set ops ----------------------------------------------------------------
+
+_UNION_INCR_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS doc_cnt
+FROM (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 1
+)
+GROUP BY lang
+"""
+
+
+@query("q_union_incr", oracle=_UNION_INCR_ORACLE)
+def q_union_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two batch slices then aggregate — the incremental
+    old ∪ new ingest shape (R12/R14)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang")
+    b = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "lang")
+    return a.unionByName(b).groupBy("lang").agg(F.count("*").alias("doc_cnt"))
+
+
+_EXCEPT_ORACLE = """
+SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0
+EXCEPT ALL
+SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@query("q_except", oracle=_EXCEPT_ORACLE)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll — the deleted-rows shape of the delete/rebuild path (R13)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    b = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "source")
+    return a.exceptAll(b)
+
+
+# --- string / json / date ---------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       substr(p_name, 1, 10) AS name_prefix,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       replace(p_brand, 'Brand#', 'B') AS brand_short
+FROM part
+WHERE p_name LIKE '%a%' AND p_type NOT LIKE 'SMALL%'
+"""
+
+
+@query("q_string", oracle=_STRING_ORACLE)
+def q_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%a%") & ~F.col("p_type").like("SMALL%")
+    ).select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias(
+            "brand_short"
+        ),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("q_json_props", oracle=_JSON_ORACLE)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the events.props JSON column —
+    get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema once the shape is known."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_DATE_AGG_ORACLE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS month_total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@query("q_date_agg", oracle=_DATE_AGG_ORACLE)
+def q_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per month. The month key is rendered as an ISO string — a
+    concrete dtype both engines canonicalize identically (DATE surfaces as
+    python date objects from Spark but datetime64 from DuckDB)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1994-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_total"),
+        )
+    )
+
+
+# Tumbling window via pure integer arithmetic on epoch-µs — timezone-proof
+# and precision-exact on both engines (6h = 21_600_000_000 µs).
+_STREAM_WINDOW_ORACLE = """
+SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_window", oracle=_STREAM_WINDOW_ORACLE)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts over event time — the batch form of the
+    Structured Streaming windowed aggregation in streaming/ (same grouping;
+    the streaming variant uses F.window + a watermark for late data)."""
+    e = load_table(spark, sf_dir, "events")
+    window_start = (F.floor(F.col("ts_us") / 21_600_000_000) * 21_600).cast(
+        "bigint"
+    )
+    return (
+        e.groupBy(window_start.alias("window_start_s"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
