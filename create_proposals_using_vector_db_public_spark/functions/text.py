@@ -138,13 +138,39 @@ def lang_id(col: Column | str) -> Column:
     stopword hits vs accented-latin vs CJK character presence."""
     c = _c(col)
     sw_ratio = stopword_ratio(c)
-    has_cjk = F.length(F.regexp_replace(c, r"[^一-鿿가-힯]", "")) > 0
-    has_accent = F.length(F.regexp_replace(c, r"[^À-ſ]", "")) > 0
+    # explicit codepoint ranges (CJK unified / Hangul syllables; latin-1
+    # supplement through latin extended-A) — written as \x{...} so the
+    # DuckDB oracle can mirror them character-for-character
+    has_cjk = (
+        F.length(F.regexp_replace(c, r"[^\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]", ""))
+        > 0
+    )
+    has_accent = F.length(F.regexp_replace(c, r"[^\x{c0}-\x{17f}]", "")) > 0
     return (
         F.when(has_cjk, F.lit("cjk"))
         .when(sw_ratio >= 0.08, F.lit("en"))
         .when(has_accent, F.lit("latin-other"))
         .otherwise(F.lit("unknown"))
+    )
+
+
+STUB_EMBED_DIM = 16
+
+
+def stub_embedding(col: Column | str, dim: int = STUB_EMBED_DIM) -> Column:
+    """Deterministic SQL-expressible embedding (SURVEY §5): dimension d
+    counts the tokens whose md5 first hex char falls in bucket d. Stands in
+    for the LaBSE pandas_udf (R7) so the chunk→vector→kNN pipeline is
+    oracle-checkable end-to-end without torch. Tokens are hashed once, then
+    bucketed — all row-local, no shuffle."""
+    hashed = F.transform(
+        tokens(col),
+        lambda t: F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(t), 1, 1))
+        - 1,
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.size(F.filter(hashed, lambda h: h == d)).cast("double"),
     )
 
 

@@ -1,1 +1,407 @@
-"""Placeholder — filled in as operators land."""
+"""Text-pipeline declared queries: keyword ops, array ops, templating
+(reference R15/R16/R21/R22/R24/R25), the deterministic stub-embedding
+vector pipeline, and the north-star text-analysis family (language ID,
+quality scoring, token counting).
+
+DuckDB fragments mirror functions.text expression-for-expression; every
+md5 / instr / list op was verified to produce identical values on both
+engines (see tools/parity.py history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..sources import load_table
+from .registry import query
+
+_WORDS = (
+    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
+    "w -> trim(w)), w -> length(w) > 0)"
+)
+
+
+# --- stub embedding pipeline -------------------------------------------------
+
+_STUB_EMBED_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 100
+), h AS (
+  SELECT doc_id,
+         list_transform(words,
+           t -> instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) AS hashed
+  FROM w
+)
+SELECT doc_id,
+       CAST(unnest(range(0, 16)) AS INTEGER) AS dim,
+       CAST(unnest(list_transform(range(0, 16),
+         d -> len(list_filter(hashed, x -> x = d)))) AS DOUBLE) AS val
+FROM h
+"""
+
+
+@query("q_stub_embed", oracle=_STUB_EMBED_ORACLE)
+def q_stub_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic stand-in for the LaBSE embedder (R7): 16-dim token
+    bucket counts, exploded to (doc_id, dim, val) rows for value-exact
+    oracle comparison."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    emb = d.select("doc_id", T.stub_embedding("text").alias("emb"))
+    return emb.select(
+        "doc_id",
+        F.posexplode("emb").alias("dim", "val"),
+    )
+
+
+_STUB_KNN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(words,
+           t -> instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) AS hashed
+  FROM w
+), e AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           d -> CAST(len(list_filter(hashed, x -> x = d)) AS DOUBLE)) AS emb
+  FROM h
+), q AS (
+  SELECT emb AS qv FROM e WHERE doc_id = 0
+), scored AS (
+  SELECT e.doc_id,
+         round(sqrt(list_reduce(list_prepend(0.0,
+           list_transform(list_zip(e.emb, q.qv),
+             p -> (p[1]-p[2])*(p[1]-p[2]))),
+           (acc, v) -> acc + v)), 6) AS dist
+  FROM e, q
+)
+SELECT doc_id, dist,
+       CAST(row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY dist ASC, doc_id ASC
+LIMIT 10
+"""
+
+
+@query("q_stub_knn", oracle=_STUB_KNN_ORACLE)
+def q_stub_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text→vector→kNN with the stub embedder: the whole
+    reference search pipeline (R5→R7→R17→R19) oracle-checked without any ML
+    dependency."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = d.select("doc_id", T.stub_embedding("text").alias("emb"))
+    qv = emb.filter(F.col("doc_id") == 0).select(F.col("emb").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        F.round(V.l2_dist(F.col("emb"), F.col("qv")), 6).alias("dist"),
+    )
+    top = scored.orderBy(F.col("dist").asc(), F.col("doc_id").asc()).limit(10)
+    w = Window.orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# --- keyword ops (R15 fallback, R16) ----------------------------------------
+
+_KW_FALLBACK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, array_to_string(words[1:8], ' ') AS keywords
+FROM w
+"""
+
+
+@query("q_kw_fallback", oracle=_KW_FALLBACK_ORACLE)
+def q_kw_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15's KeyBERT-failure fallback: first 8 tokens
+    (``app_callapi.py:152``)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.array_join(T.keyword_fallback("text", 8), " ").alias("keywords"),
+    )
+
+
+_STOPWORDS = ("the", "a", "in")
+
+_KW_STOPFILTER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       array_to_string(
+         list_filter(words[1:8],
+           k -> len(list_filter({list(_STOPWORDS)!r}, sw -> contains(k, sw))) = 0),
+         ' ') AS kept
+FROM w
+"""
+
+
+@query("q_kw_stopfilter", oracle=_KW_STOPFILTER_ORACLE)
+def q_kw_stopfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 with the reference's SUBSTRING semantics (``app.py:110``): a
+    keyword dies if it *contains* a stopword anywhere — 'a' kills 'table'
+    and 'data'. Token-equality would be wrong (SURVEY §7 trap 3)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    kept = T.stopword_filter(T.keyword_fallback("text", 8), _STOPWORDS)
+    return d.select("doc_id", F.array_join(kept, " ").alias("kept"))
+
+
+# --- R21 union-dedup head-6 --------------------------------------------------
+
+_ARRAY_OPS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS} AS words FROM documents
+), kw AS (
+  SELECT doc_id, lang,
+         unnest(words[1:3]) AS keyword,
+         CAST(unnest(range(len(words[1:3]))) AS INTEGER) AS pos
+  FROM w
+), firsts AS (
+  SELECT lang, keyword, doc_id, pos,
+         row_number() OVER (
+           PARTITION BY lang, keyword ORDER BY doc_id ASC, pos ASC
+         ) AS rn
+  FROM kw
+), ranked AS (
+  SELECT lang, keyword,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY doc_id ASC, pos ASC
+         ) AS INTEGER) AS kw_rank
+  FROM firsts WHERE rn = 1
+)
+SELECT lang, keyword, kw_rank FROM ranked WHERE kw_rank <= 6
+"""
+
+
+@query("q_array_ops", oracle=_ARRAY_OPS_ORACLE)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21's order-preserving union-dedup + head-6 (``app_callapi.py:213``:
+    ``list(dict.fromkeys(kw))[:6]``), per language group: first-seen order
+    is (doc_id, position-in-doc); expressed as two windows instead of a
+    single-partition collect_list (SURVEY §7 trap 2 — array_distinct after
+    collect_list only preserves order on one partition; windows scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    kw = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(T.keyword_fallback("text", 3)).alias("pos", "keyword"),
+    )
+    w_first = Window.partitionBy("lang", "keyword").orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    return (
+        kw.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .withColumn("kw_rank", F.row_number().over(w_rank))
+        .filter(F.col("kw_rank") <= 6)
+        .select("lang", "keyword", "kw_rank")
+    )
+
+
+# --- templating (R22, R24, R25) ---------------------------------------------
+
+_PROMPT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS} AS words FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       concat('You are a proposal writer. Keywords: ',
+              array_to_string(words[1:5], ', '),
+              '. Language: ', lang,
+              '. Respond with [PLAN] then [MERMAID].') AS prompt
+FROM w
+"""
+
+
+@query("q_prompt_template", oracle=_PROMPT_ORACLE)
+def q_prompt_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22: prompt templating (``app_callapi.py:227-243``) as a pure column
+    expression — at scale, a billion prompts is a narrow projection."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("You are a proposal writer. Keywords: "),
+            F.array_join(T.keyword_fallback("text", 5), ", "),
+            F.lit(". Language: "),
+            F.col("lang"),
+            F.lit(". Respond with [PLAN] then [MERMAID]."),
+        ).alias("prompt"),
+    )
+
+
+_SPLIT_SECTIONS_ORACLE = """
+WITH resp AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 50), '[MERMAID]', substr(text, 51, 60)) AS response
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       str_split(response, '[MERMAID]')[1] AS plan_part,
+       str_split(response, '[MERMAID]')[2] AS mermaid_part
+FROM resp
+"""
+
+
+@query("q_split_sections", oracle=_SPLIT_SECTIONS_ORACLE)
+def q_split_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24: the '[MERMAID]' response split (``app_callapi.py:246-247``)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    resp = F.concat(
+        F.substring("text", 1, 50),
+        F.lit("[MERMAID]"),
+        F.substring("text", 51, 60),
+    )
+    parts = F.split(resp, r"\[MERMAID\]")
+    return d.select(
+        "doc_id",
+        F.element_at(parts, 1).alias("plan_part"),
+        F.element_at(parts, 2).alias("mermaid_part"),
+    )
+
+
+_COMMA_PARSE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 50
+), s AS (
+  SELECT doc_id,
+         concat(array_to_string(words[1:6], ', '), ', , ') AS raw
+  FROM w
+)
+SELECT doc_id,
+       array_to_string(
+         list_filter(list_transform(str_split(raw, ','), x -> trim(x)),
+                     x -> length(x) > 0),
+         '|') AS parsed
+FROM s
+"""
+
+
+@query("q_comma_parse", oracle=_COMMA_PARSE_ORACLE)
+def q_comma_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25: comma-split keyword parsing with trim + drop-empty
+    (``app_callapi.py:257``), fed a raw string with empty segments."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    raw = F.concat(
+        F.array_join(T.keyword_fallback("text", 6), ", "), F.lit(", , ")
+    )
+    parsed = F.filter(
+        F.transform(F.split(raw, ","), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return d.select("doc_id", F.array_join(parsed, "|").alias("parsed"))
+
+
+# --- text analysis (north-star family) --------------------------------------
+
+_EN_SW_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for']"
+
+_QUALITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS} AS words FROM documents WHERE doc_id < 300
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS DOUBLE) AS wc,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(list_filter(words, t -> list_contains({_EN_SW_SQL}, lower(t)))) AS DOUBLE)
+             / len(words)
+         ELSE 0.0 END AS swr,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text)
+         ELSE 0.0 END AS pr
+  FROM w
+)
+SELECT doc_id,
+       CAST(wc AS BIGINT) AS word_cnt,
+       round(swr, 6) AS stopword_ratio,
+       round(pr, 6) AS punct_ratio,
+       round(0.5 * least(wc / 50.0, 1.0)
+             + 0.3 * least(swr * 5.0, 1.0)
+             + 0.2 * (1.0 - least(pr * 10.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+@query("q_quality_score", oracle=_QUALITY_ORACLE)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-shaped heuristic quality scoring: length, stopword and
+    punctuation signals — pure column math over the document scan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        T.word_count("text").cast("bigint").alias("word_cnt"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS word_cnt,
+       CAST(list_sum(list_transform(words,
+         t -> CAST(ceil(length(t) / 4.0) AS INTEGER))) AS BIGINT) AS bpe_ish_tokens
+FROM w
+"""
+
+
+@query("q_token_count", oracle=_TOKEN_COUNT_ORACLE)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting for training-data budgeting: whitespace words + the
+    chars/4 BPE estimate, computed per word."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        T.word_count("text").cast("bigint").alias("word_cnt"),
+        T.bpe_ish_token_count("text").cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+_LANG_ID_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, text, {_WORDS} AS words FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(list_filter(words, t -> list_contains({_EN_SW_SQL}, lower(t)))) AS DOUBLE)
+             / len(words)
+         ELSE 0.0 END AS swr,
+         length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}\\x{{ac00}}-\\x{{d7af}}]', '', 'g')) > 0 AS has_cjk,
+         length(regexp_replace(text, '[^\\x{{c0}}-\\x{{17f}}]', '', 'g')) > 0 AS has_accent
+  FROM w
+), pred AS (
+  SELECT lang,
+         CASE WHEN has_cjk THEN 'cjk'
+              WHEN swr >= 0.08 THEN 'en'
+              WHEN has_accent THEN 'latin-other'
+              ELSE 'unknown' END AS predicted
+  FROM m
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+FROM pred GROUP BY lang, predicted
+"""
+
+
+@query("q_lang_id", oracle=_LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword / CJK / accented-latin signals),
+    confusion-matrix-style counts against the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+    )
