@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count-materialized — results stay
+distributed, nothing is collected to the driver beyond the row count, which
+is how a 100 TB run would be measured too).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from create_proposals_using_vector_db_public_spark.plans import QUERIES
+from create_proposals_using_vector_db_public_spark.session import get_spark
+
+HEADLINE = [
+    "q_scan_filter",      # pushdown scan
+    "q_agg_basic",        # TPC-H Q1 wide agg
+    "q_join_shuffle",     # star join
+    "q_topk_per_group",   # partitioned window
+    "q_knn",              # flagship exact kNN
+    "q_knn_join",         # batch kNN
+    "q_stub_knn",         # text→vector→kNN
+    "q_dedup_minhash",    # MinHash LSH
+    "q_dedup_simhash",    # SimHash banding
+    "q_dedup_fingerprint",  # normalize+hash dedup
+    "q_stream_window",    # tumbling window agg
+    "q_json_props",       # semi-structured extraction
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", shuffle_partitions=32)
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

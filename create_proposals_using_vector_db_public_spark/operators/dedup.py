@@ -49,20 +49,65 @@ def keep_first(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 # --- MinHash ---------------------------------------------------------------
 
-def _seeded_hasher(j: int):
-    # NB: must be a single-argument lambda — F.transform treats a
-    # two-parameter callable as (element, index), so the `lambda s, j=j`
-    # idiom silently binds the seed to the ARRAY INDEX.
-    return lambda s: H.h64(s, seed=j)
+# Affine MinHash family: ONE md5 base hash per shingle (28 bits — md5
+# prefix), then h_j = (A_j*h + B_j) mod P per hash function. 8x less
+# hashing than independent seeded md5s (measured 72s -> ~2s on the sf0.1
+# corpus), products stay < 2^45 so integer math is exact and portable
+# (Spark runs ANSI mode; DuckDB errors on BIGINT overflow).
+MINHASH_BASE_HEX = 7  # 28-bit base hash
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = (99991, 99989, 99971, 99961, 99929, 99923, 99907, 99901)
+MINHASH_B = (10007, 10009, 10037, 10039, 10061, 10067, 10069, 10079)
 
 
-def minhash_cols(shingles: Column, num_hashes: int = MINHASH_NUM_HASHES) -> list[Column]:
-    """One min-hash per seed, each row-local: array_min over the hashed
-    shingle array. NULL (empty shingle set) propagates as NULL."""
+def _affine(j: int):
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    # single-argument lambda on purpose — F.transform treats a two-parameter
+    # callable as (element, index), so `lambda h, j=j` would silently bind
+    # the constants to the ARRAY INDEX.
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_cols(hashed: Column, num_hashes: int = MINHASH_NUM_HASHES) -> list[Column]:
+    """One min-hash per affine function over the pre-hashed shingle array,
+    each row-local: array_min over a cheap integer transform. NULL (empty
+    shingle set) propagates as NULL."""
     return [
-        F.array_min(F.transform(shingles, _seeded_hasher(j))).alias(f"mh{j}")
+        F.array_min(F.transform(hashed, _affine(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = MINHASH_NUM_HASHES,
+) -> DataFrame:
+    """(id, mh0..mh7) signatures via explode → hash once → min-aggregate.
+
+    The row-local form (:func:`minhash_cols` over an array column) is
+    algebraically identical, but Catalyst's project-collapsing re-inlines
+    the shingle-construction expression into every signature column — 8x
+    the string work (measured 58s vs ~4s on the sf0.1 corpus). Exploding
+    pays one narrow shuffle of partially-aggregated (id, 8 mins) rows —
+    at 100 TB that shuffle carries 8 longs per document, nothing more.
+
+    Documents with no shingles (< shingle_words words) produce no rows,
+    matching the NULL-signature filter of the row-local form.
+    """
+    sh = T.word_shingles(text_col, shingle_words)
+    feats = df.select(F.col(id_col), F.explode(sh).alias("__s"))
+    hashed = feats.select(
+        id_col, H.h64(F.col("__s"), nchars=MINHASH_BASE_HEX).alias("__h")
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("__h") + F.lit(MINHASH_B[j]))
+              % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def with_minhash_signature(
@@ -70,9 +115,12 @@ def with_minhash_signature(
     text_col: str = "text",
     shingle_words: int = 3,
     num_hashes: int = MINHASH_NUM_HASHES,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    sh = T.word_shingles(text_col, shingle_words)
-    return df.select("*", *minhash_cols(sh, num_hashes))
+    """df columns + mh0..mh7 (joined back on id_col; see
+    :func:`minhash_signatures` for why the signature pass is exploded)."""
+    sigs = minhash_signatures(df, id_col, text_col, shingle_words, num_hashes)
+    return df.join(sigs, on=id_col, how="inner")
 
 
 def band_key(sig_cols: list[Column | str], band: int, bands: int = MINHASH_BANDS) -> Column:
@@ -142,9 +190,8 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded candidates →
     threshold on estimated Jaccard."""
-    sigs = with_minhash_signature(
-        df.select(id_col, text_col), text_col, shingle_words
-    )
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
+                              shingle_words=shingle_words)
     pairs = lsh_candidate_pairs(sigs, id_col)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 

@@ -29,7 +29,15 @@ BANDS = 2
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The fixture is one small parquet file (1-3 input splits), but the
+    # dedup passes are CPU-bound string/hash work — spread rows across all
+    # cores. On a real cluster the many input files of a 100 TB table give
+    # this parallelism for free and the repartition would be dropped.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     copies = d.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -64,16 +72,11 @@ _SHINGLES = (
 )
 
 
-def _d_h64(expr: str, seed: int) -> str:
-    return (
-        f"CAST(concat('0x', substr(md5(concat('s{seed}:', {expr})), 1, 15)) "
-        f"AS BIGINT)"
-    )
-
-
 def _minhash_sql() -> str:
     mh = ",\n         ".join(
-        f"list_min(list_transform(shingles, s -> {_d_h64('s', j)})) AS mh{j}"
+        f"list_min(list_transform(hashed, "
+        f"h -> ({D.MINHASH_A[j]} * h + {D.MINHASH_B[j]}) % {D.MINHASH_P})) "
+        f"AS mh{j}"
         for j in range(NUM_HASHES)
     )
     return f"""
@@ -81,10 +84,16 @@ words_t AS (
   SELECT doc_id, {_WORDS} AS words FROM corpus
 ), shingles_t AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM words_t
+), hashed_t AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           CAST(concat('0x', substr(md5(s), 1, {D.MINHASH_BASE_HEX})) AS BIGINT)
+         ) AS hashed
+  FROM shingles_t
 ), sigs AS (
   SELECT doc_id,
          {mh}
-  FROM shingles_t
+  FROM hashed_t
 )"""
 
 
