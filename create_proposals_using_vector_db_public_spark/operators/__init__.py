@@ -1,1 +1,1 @@
-from . import dedup, ingest, knn  # noqa: F401
+from . import dedup, ingest, knn, ml, multimodal  # noqa: F401

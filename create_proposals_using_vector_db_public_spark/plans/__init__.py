@@ -5,6 +5,8 @@ from . import (  # noqa: F401,E402
     dedup_queries,
     ingest_queries,
     relational_queries,
+    streaming_queries,
     text_queries,
+    udf_queries,
     vector_queries,
 )

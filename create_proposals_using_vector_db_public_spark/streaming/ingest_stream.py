@@ -1,0 +1,116 @@
+"""Structured Streaming forms of the reference's folder-watch ingest.
+
+The reference rescans ``./documents`` once per session and folds new or
+changed files into the index (``app.py:117-132``, ``app_callapi.py:165-174``
+— the ``session_state`` one-shot guard). The Spark-native equivalent is a
+file-source stream processed with ``Trigger.AvailableNow`` — one scan of
+everything currently present, exactly-once per file, then stop; run again
+later and only NEW files are processed (checkpointed file tracking replaces
+the reference's ``doc_hash.pkl``).
+
+Late/duplicate handling that the reference does with in-memory lists:
+
+- duplicate chunk keys (R9)  → ``dropDuplicatesWithinWatermark`` keyed on
+  (file_name, paragraph_idx): state is bounded by the watermark instead of
+  growing forever — the 100 TB-safe form of "check if already indexed",
+- windowed event rollups     → event-time tumbling windows + watermark.
+
+Everything composes with the batch operators in ``operators.ingest``: the
+transformations are identical DataFrame expressions; only the source/sink
+differ.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators import ingest as I
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the folder being
+    "watched"). Schema must be provided — streaming sources don't infer."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_chunks(
+    files_stream: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+    watermark_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The streaming chunking pipeline: R5/R6 paragraph split + R9 key dedup
+    with watermark-bounded state."""
+    chunks = I.split_paragraphs(files_stream, text_col=text_col, delim=delim)
+    if watermark_col is None:
+        return chunks
+    return chunks.withWatermark(watermark_col, watermark_delay)
+
+
+def watermark_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    watermark_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """R9's (file, idx) duplicate skip with bounded state: duplicates
+    arriving within the watermark window are dropped; state for keys older
+    than the watermark is evicted. The unbounded-list equivalent in the
+    reference (``app.py:98-99``) cannot run forever — this can."""
+    return stream_df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    extra_key: str | None = "event_type",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data watermark —
+    the streaming twin of the batch q_stream_window query."""
+    keys = [F.window(F.col(ts_col), window).alias("win")]
+    if extra_key:
+        keys.append(F.col(extra_key))
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def available_now_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with Trigger.AvailableNow
+    into an in-memory table and return the batch result — the one-shot
+    session-scan semantics of the reference (R28), used by tests and the
+    rows-only streaming queries."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,93 @@
+"""Dedup operator behavior on planted duplicates."""
+
+from create_proposals_using_vector_db_public_spark.operators import dedup as D
+
+TEXT = (
+    "spark query engine with columnar execution and vectorized operators "
+    "running distributed scans joins aggregations windows and shuffles "
+    "over partitioned parquet data at large scale with adaptive execution"
+)
+OTHER = (
+    "completely different document about cooking pasta with tomatoes basil "
+    "and olive oil simmered slowly then served with fresh bread and wine "
+    "for a relaxed dinner among friends on a warm summer evening outside"
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, TEXT),
+            (2, TEXT),  # exact dup of 1
+            (3, TEXT + " extra tail words"),  # near dup of 1
+            (4, OTHER),
+        ],
+        "doc_id: long, text: string",
+    )
+
+
+def test_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "k"), (2, "k"), (3, "j")], "doc_id: long, key: string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in D.keep_first(df, ["key"], "doc_id").collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_planted_dups_not_distinct_docs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_dedup_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical signatures
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_dedup_pairs(_corpus(spark), max_hamming=32).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # near-dup is close, unrelated doc is not
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 8
+    assert pairs.get((1, 4), 33) > 8 or (1, 4) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            _corpus(spark), threshold=0.0, block_chars=20
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0  # near dup shares the 20-char block
+
+
+def test_embedding_near_dup_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.001], 0),   # near dup, same block
+            (3, [0.0, 1.0], 0),     # same block, dissimilar
+            (4, [1.0, 0.0], 1),     # identical but different block — unseen
+        ],
+        "vec_id: long, embedding: array<double>, label: int",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # blocking bounds the pair space
+
+
+def test_simhash_signature_deterministic(spark):
+    a = D.simhash_signatures(_corpus(spark)).collect()
+    b = D.simhash_signatures(_corpus(spark)).collect()
+    assert {r["doc_id"]: r["sh"] for r in a} == {r["doc_id"]: r["sh"] for r in b}

@@ -1,0 +1,57 @@
+"""kNN semantics — including the reference's trap cases (SURVEY §7):
+L2 order != cosine order, k clamp, 1-based rank."""
+
+from create_proposals_using_vector_db_public_spark.operators import knn as K
+
+
+def _corpus(spark):
+    # Unnormalized vectors engineered so L2 order differs from cosine order
+    # w.r.t. query [1, 0]:
+    #  - id 1: [0.9, 0.0]   L2 = 0.1,  cosine = 1.0
+    #  - id 2: [10.0, 0.0]  L2 = 9.0,  cosine = 1.0
+    #  - id 3: [0.5, 0.5]   L2 ~ 0.707, cosine ~ 0.707
+    return spark.createDataFrame(
+        [(1, [0.9, 0.0]), (2, [10.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id: long, embedding: array<double>",
+    )
+
+
+def test_knn_ranks_by_l2_not_cosine(spark):
+    rows = K.knn(_corpus(spark), [1.0, 0.0], k=3).collect()
+    # reference semantics (app.py:183-184): order by L2 ascending; cosine is
+    # reported but NEVER reorders. Cosine-ranked order would be [1,2,3].
+    assert [r["vec_id"] for r in rows] == [1, 3, 2]
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["cosine"] == 1.0 and rows[2]["cosine"] == 1.0
+
+
+def test_knn_clamps_k(spark):
+    rows = K.knn(_corpus(spark), [1.0, 0.0], k=99).collect()
+    assert len(rows) == 3  # k = min(top_k, n), app.py:179
+
+
+def test_knn_join_per_query_topk(spark):
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "query_id: long, query_vec: array<double>",
+    )
+    out = K.knn_join(queries, _corpus(spark), k=2)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()}
+    assert got[(100, 1)] == 1 and got[(100, 2)] == 3
+    assert got[(200, 1)] == 3  # [0.5,0.5] closest to [0,1]
+
+
+def test_ivf_search_prunes_to_probed_cells(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 0.0])],
+        "centroid_id: long, centroid_vec: array<double>",
+    )
+    # probe only the cell nearest the query (around 9.0)
+    rows = K.ivf_search(corpus, cents, [9.0, 0.0], k=3, n_probe=1).collect()
+    assert [r["vec_id"] for r in rows] == [9, 8, 7]
+    # vectors in the unprobed cell are never candidates
+    assert all(r["vec_id"] >= 5 for r in rows)

@@ -1,0 +1,102 @@
+"""Structured Streaming semantics: one-shot folder scan (AvailableNow),
+watermark dedup, incremental file pickup across runs."""
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from create_proposals_using_vector_db_public_spark import streaming as S
+
+SCHEMA = StructType(
+    [
+        StructField("file_name", StringType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+@pytest.fixture()
+def watch_dir(spark, tmp_path):
+    d = str(tmp_path / "watched")
+    os.makedirs(d)
+    return d
+
+
+def _write_file(spark, d, name, rows):
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    df.write.mode("append").parquet(f"{d}/{name}")
+
+
+def test_available_now_chunking_pipeline(spark, watch_dir):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    _write_file(
+        spark,
+        watch_dir,
+        "batch1",
+        [("f1.docx", "hello\n\nworld", t0), ("f2.docx", "solo", t0)],
+    )
+    stream = S.stream_parquet(spark, f"{watch_dir}/batch1", SCHEMA)
+    chunks = S.stream_chunks(stream, text_col="text")
+    out = S.available_now_to_memory(chunks, output_mode="append")
+    rows = {(r["file_name"], r["paragraph_idx"]): r["paragraph"] for r in out.collect()}
+    assert rows == {
+        ("f1.docx", 0): "hello",
+        ("f1.docx", 2): "world",
+        ("f2.docx", 0): "solo",
+    }
+
+
+def test_watermark_dedup_drops_duplicate_keys(spark, watch_dir):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    _write_file(
+        spark,
+        watch_dir,
+        "b",
+        [
+            ("f1", "a", t0),
+            ("f1", "a", t0 + dt.timedelta(minutes=1)),  # dup key within watermark
+            ("f2", "b", t0),
+        ],
+    )
+    stream = S.stream_parquet(spark, f"{watch_dir}/b", SCHEMA)
+    deduped = S.watermark_dedup(stream, ["file_name"], "ts", delay="1 hour")
+    out = S.available_now_to_memory(deduped, output_mode="append")
+    assert sorted(r["file_name"] for r in out.collect()) == ["f1", "f2"]
+
+
+def test_windowed_event_counts(spark, watch_dir):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        ("e", "x", t0),
+        ("e", "x", t0 + dt.timedelta(minutes=10)),
+        ("e", "x", t0 + dt.timedelta(hours=7)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn("value", F.lit(1.0)).withColumn(
+        "event_type", F.col("file_name")
+    )
+    d = f"{watch_dir}/events"
+    df.coalesce(1).write.parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(df.schema).load(d)
+    )
+    win = S.windowed_event_counts(stream, ts_col="ts", window="6 hours")
+    out = S.available_now_to_memory(win, output_mode="complete")
+    counts = sorted(r["cnt"] for r in out.collect())
+    assert counts == [1, 2]  # two tumbling windows: 2 early + 1 late event
