@@ -1,0 +1,366 @@
+"""Advanced analytics declared queries — the training-data-pipeline toolbox
+beyond the reference's surface: relevance scoring (TF-IDF, BM25),
+sessionization, deterministic sampling, distribution statistics, cube/pivot
+shapes, and the parquet sink round-trip.
+
+All oracle-checked. Scale notes inline; the common pattern is "explode to
+(doc, term) → aggregate" which shuffles only small keyed rows, never texts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..functions.hashing import d_h64, h64
+from ..sources import load_table
+from .registry import query
+
+_WORDS = (
+    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
+    "w -> trim(w)), w -> length(w) > 0)"
+)
+
+
+# --- deterministic sampling --------------------------------------------------
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {d_h64("CAST(doc_id AS VARCHAR)")} % 100 < 10
+"""
+
+
+@query("q_sample_hash", oracle=_SAMPLE_ORACLE)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample by key hash — unlike TABLESAMPLE/rand(),
+    reproducible across engines, runs, and retries (a requirement for
+    training-data lineage: the same sample every time, no seed plumbing)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(h64(F.col("doc_id").cast("string")) % 100 < 10).select(
+        "doc_id", "lang"
+    )
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         ) AS INTEGER) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, term_rank
+FROM ranked WHERE term_rank <= 3 AND doc_id < 100
+"""
+
+
+@query("q_tfidf", oracle=_TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf). The reference gets
+    keywords from KeyBERT (R15); TF-IDF is the classical engine-native
+    scoring with the same output shape. Shuffles carry (doc, term, count)
+    only; the df table is tiny (vocabulary) and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter((F.col("term_rank") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf", "term_rank")
+    )
+
+
+# --- BM25 --------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM w
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+           (tf.tf * ({_BM25_K1} + 1.0)) /
+           (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@query("q_bm25", oracle=_BM25_ORACLE)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed term query — engine-native full-text
+    relevance (k1=1.2, b=0.75, Robertson idf). Per-term postings are tiny
+    after the IN filter; doc lengths and corpus stats broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    qterms = terms.filter(F.col("term").isin(*_BM25_TERMS))
+    tf = qterms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = qterms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --- sessionization ----------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+), gaps AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - lag(ts_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+              ) > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS session_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(session_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+@query("q_sessionize", oracle=_SESSIONIZE_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → flag → running
+    sum — one shuffle on user_id, windows stream in ts order. The batch
+    form of what applyInPandasWithState does continuously."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, 1
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
+# --- distribution statistics -------------------------------------------------
+
+_PERCENTILE_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value,
+       round(stddev_samp(value), 6) AS sd_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_percentiles", oracle=_PERCENTILE_ORACLE)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB switch to approx_percentile —
+    sketch-mergeable, no full sort; kept exact here for the value check."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+    )
+
+
+_CORR_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_corr_stats", oracle=_CORR_ORACLE)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "lineitem")
+    return e.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+# --- cube / pivot ------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(o_totalprice), 6) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q_cube", oracle=_CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 6).alias("total"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_O,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_F,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_P
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("q_pivot", oracle=_PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — the implicit-values form runs an
+    extra distinct job and is nondeterministic in column order; never use it
+    at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside Pivot
+    )
+    return out.select(
+        "order_year",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+# --- sink round-trip ---------------------------------------------------------
+
+_SINK_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("q_sink_roundtrip", oracle=_SINK_ORACLE)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write path (R14 / pickle-save analogue): write documents
+    partitioned by lang to parquet, read the files back, aggregate. The
+    oracle checks the round-trip lost nothing. Partitioning by a
+    low-cardinality column = partition pruning for every downstream
+    lang-filtered query."""
+    import os
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sink_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -27,7 +27,7 @@ from .registry import query
 
 _SCAN_FILTER_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_quantity,
-       round(l_extendedprice * (1 - l_discount), 2) AS revenue,
+       round(l_extendedprice * (1 - l_discount), 6) AS revenue,
        l_returnflag
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-06-01'
@@ -52,7 +52,7 @@ def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
             "revenue"
         ),
         "l_returnflag",
@@ -61,7 +61,7 @@ def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROJECT_ORACLE = """
 SELECT o_orderkey,
-       round(o_totalprice * 1.1, 2) AS taxed_price,
+       round(o_totalprice * 1.1, 6) AS taxed_price,
        CAST(year(o_orderdate) AS INTEGER) AS order_year,
        CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
 FROM orders
@@ -74,7 +74,7 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderstatus") == "O").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("taxed_price"),
+        F.round(F.col("o_totalprice") * 1.1, 6).alias("taxed_price"),
         F.year("o_orderdate").alias("order_year"),
         F.when(F.col("o_totalprice") > 200000, "big")
         .otherwise("small")
@@ -107,7 +107,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_SHUFFLE_ORACLE = """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o.o_totalprice), 2) AS total_spend
+       round(sum(o.o_totalprice), 6) AS total_spend
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -132,7 +132,7 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
         )
     )
 
@@ -182,7 +182,7 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OUTER_ORACLE = """
 SELECT c.c_custkey,
        CAST(count(o.o_orderkey) AS BIGINT) AS order_cnt,
-       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+       round(coalesce(sum(o.o_totalprice), 0), 6) AS total_spend
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
@@ -198,7 +198,7 @@ def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 6).alias(
                 "total_spend"
             ),
         )
@@ -209,10 +209,10 @@ def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_BASIC_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -233,10 +233,10 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -276,7 +276,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_quantity), 6) AS sum_qty,
        CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
          AS grouping_lvl
 FROM lineitem
@@ -289,7 +289,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         (
             F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
         ).cast("bigint").alias("grouping_lvl"),
@@ -469,7 +469,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATE_AGG_ORACLE = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 2) AS month_total
+       round(sum(o_totalprice), 6) AS month_total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1994-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
@@ -495,7 +495,7 @@ def q_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("month_total"),
+            F.round(F.sum("o_totalprice"), 6).alias("month_total"),
         )
     )
 
