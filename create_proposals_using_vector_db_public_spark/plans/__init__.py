@@ -7,6 +7,7 @@ from . import (  # noqa: F401,E402
     ingest_queries,
     relational_queries,
     streaming_queries,
+    temporal_queries,
     text_queries,
     udf_queries,
     vector_queries,
