@@ -331,6 +331,55 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bucketed co-located join ------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o.o_totalprice), 6) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@query("q_bucketed_join", oracle=_BUCKETED_ORACLE)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides written bucketed on
+    the join key (8 buckets, sorted), then joined WITHOUT a shuffle — the
+    exchange disappears from the plan because bucket layout IS the
+    partitioning. At 100 TB, bucketing the fact tables on their join keys
+    once at write time removes the dominant shuffle from every subsequent
+    join; this query demonstrates the full write→read→join path."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tag}")
+    o_tbl, c_tbl = f"b_orders_{tag}", f"b_customer_{tag}"
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for name, df, key in ((o_tbl, o, "o_custkey"), (c_tbl, c, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .saveAsTable(name)
+        )
+    bo, bc = spark.table(o_tbl), spark.table(c_tbl)
+    # hint MERGE so the demo exercises the bucket-aligned sort-merge path
+    # (broadcast would also be shuffle-free but proves nothing about layout)
+    joined = bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("order_cnt"),
+        F.round(F.sum("o_totalprice"), 6).alias("total"),
+    )
+
+
 # --- sink round-trip ---------------------------------------------------------
 
 _SINK_ORACLE = """

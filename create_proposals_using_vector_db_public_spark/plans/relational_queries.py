@@ -500,6 +500,101 @@ def q_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FROM_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+WHERE event_id < 2000 AND json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+@query("q_from_json", oracle=_FROM_JSON_ORACLE)
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (vs
+    q_json_props' per-path get_json_object). One parse per row regardless
+    of how many fields are consumed — the right shape when a props column
+    has many keys."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+        )
+    )
+
+
+_WINDOW_RANGE_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_1h_value
+FROM events
+WHERE user_id < 30
+"""
+
+
+@query("q_window_range", oracle=_WINDOW_RANGE_ORACLE)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: rolling 1-hour sum per user ordered by event
+    time. Value-based frames are tie-safe (all rows at equal ts share a
+    frame) so no tiebreak column is needed — unlike ROWS frames."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_1h_value"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT c_custkey,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER)
+         AS balance_quartile,
+       round(percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey ASC), 6)
+         AS balance_pctrank
+FROM customer
+"""
+
+
+@query("q_ntile", oracle=_NTILE_ORACLE)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile + percent-rank assignment (deterministic via custkey
+    tiebreak — ntile over a non-total order differs between engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_pctrank"),
+    )
+
+
+_INTERSECT_ORACLE = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+INTERSECT
+SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@query("q_intersect", oracle=_INTERSECT_ORACLE)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    b = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang")
+    return a.intersect(b)
+
+
 # Tumbling window via pure integer arithmetic on epoch-µs — timezone-proof
 # and precision-exact on both engines (6h = 21_600_000_000 µs).
 _STREAM_WINDOW_ORACLE = """
