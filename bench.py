@@ -33,15 +33,27 @@ HEADLINE = [
     "q_dedup_fingerprint",  # normalize+hash dedup
     "q_stream_window",    # tumbling window agg
     "q_json_props",       # semi-structured extraction
+    "q_tfidf",            # posting-list scoring
+    "q_asof_join",        # temporal as-of composition
+    "q_sessionize",       # gap sessionization
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     spark = get_spark("bench", shuffle_partitions=32)
-    # one warm-up action so JVM/codegen startup isn't billed to the first query
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm each query's codegen/JIT at the tiny SF first: whole-stage
+    # codegen compiles per plan shape, and first-run JIT otherwise dominates
+    # the measured time at local scale. Timings below are steady-state
+    # compute at the target SF.
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -141,10 +141,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    # hash-once form mirroring operators.dedup.simhash_signatures
+    # hash-once integer-bit form mirroring operators.dedup.simhash_signatures
     bit_cnts = ",\n         ".join(
-        f"sum(CASE WHEN substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS c{b}"
-        for b in range(D.SIMHASH_BITS)
+        f"sum((v // {1 << b}) % 2) AS c{b}" for b in range(D.SIMHASH_BITS)
     )
     sh = " + ".join(
         f"(CASE WHEN c{b} * 2 > n THEN {1 << b} ELSE 0 END)"
@@ -156,7 +155,9 @@ words_raw AS (
 ), feats AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS f FROM words_raw
 ), hashed AS (
-  SELECT doc_id, md5(f) AS h FROM feats
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) AS v
+  FROM feats
 ), cnts AS (
   SELECT doc_id, count(*) AS n,
          {bit_cnts}

@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # The hash-heavy operators (MinHash/SimHash/stub-embed) generate
+        # large whole-stage-codegen classes; the JVM's default 240 MB code
+        # cache fills over a long session and HotSpot silently falls back to
+        # the interpreter (measured 30-50x slowdowns late in a run).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     return builder.getOrCreate()
