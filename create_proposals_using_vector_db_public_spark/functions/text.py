@@ -157,6 +157,37 @@ def lang_id(col: Column | str) -> Column:
 STUB_EMBED_DIM = 16
 
 
+def stub_embeddings_df(df, id_col: str = "doc_id", text_col: str = "text",
+                       dim: int = STUB_EMBED_DIM):
+    """Per-document stub embeddings as a DataFrame transform:
+    explode → bucket each token's md5 once → 16 conditional sums → dense
+    array (joined back so token-less docs get zero vectors).
+
+    Prefer this over the :func:`stub_embedding` Column for whole-table
+    embedding: the nested-lambda column form generates a single huge
+    codegen method that HotSpot sporadically refuses to JIT (observed
+    3s-vs-159s flapping on identical runs); this form is one narrow
+    explode + a partial+final aggregate, stable at any scale."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    hashed = toks.select(
+        id_col,
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("__t"), 1, 1)) - 1)
+        .alias("__b"),
+    )
+    sums = [
+        F.sum((F.col("__b") == d).cast("int")).alias(f"__c{d}") for d in range(dim)
+    ]
+    agged = hashed.groupBy(id_col).agg(*sums)
+    emb = F.array(*[F.col(f"__c{d}").cast("double") for d in range(dim)])
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    sigs = agged.select(F.col(id_col), emb.alias("emb"))
+    return (
+        df.select(id_col)
+        .join(sigs, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce(F.col("emb"), zeros).alias("emb"))
+    )
+
+
 def stub_embedding(col: Column | str, dim: int = STUB_EMBED_DIM) -> Column:
     """Deterministic SQL-expressible embedding (SURVEY §5): dimension d
     counts the tokens whose md5 first hex char falls in bucket d. Stands in
