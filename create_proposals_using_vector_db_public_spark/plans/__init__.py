@@ -6,6 +6,7 @@ from . import (  # noqa: F401,E402
     dedup_queries,
     ingest_queries,
     relational_queries,
+    scale_queries,
     streaming_queries,
     temporal_queries,
     text_queries,

@@ -1,0 +1,155 @@
+"""Scale-technique declared queries: the mechanics you reach for when a
+plan that works at sf0.1 meets 100 TB — key salting for skew, stratified
+deterministic sampling, embedding quantization, streaming-friendly
+histograms. Each oracle-checked; each docstring says when to use it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import d_h64, h64
+from ..functions import vectors as V
+from ..sources import load_table
+from .duck import dd
+from .registry import query
+
+
+_SALTED_ORACLE = """
+WITH skewed AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 'HOT' ELSE l_returnflag END AS k,
+         l_quantity
+  FROM lineitem
+)
+SELECT k,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM skewed GROUP BY k
+"""
+
+
+@query("q_salted_agg", oracle=_SALTED_ORACLE)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately skewed key (70% of
+    rows share one key): phase 1 aggregates on (key, salt) — the hot key
+    splits across 16 reducers — phase 2 merges the 16 partials. Identical
+    result to a direct groupBy; at 100 TB this is the difference between
+    one straggler reducer holding 70% of the data and none. (For built-in
+    aggregates partial aggregation already does this map-side; salting is
+    the pattern for when it can't — high-cardinality intermediate state,
+    collect-type aggregates, or skewed JOIN keys.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, "HOT")
+        .otherwise(F.col("l_returnflag"))
+        .alias("k"),
+        "l_quantity",
+    )
+    # salt from a hash of row values (any roughly-uniform value works;
+    # salt only needs to spread rows, not be meaningful). Quantities are
+    # integer-valued doubles, so the two-phase sum is EXACT and matches
+    # the oracle's one-phase sum bit-for-bit — the salted structure never
+    # shows up in the result.
+    salted = skewed.withColumn(
+        "salt", h64(F.col("l_quantity").cast("string")) % 16
+    )
+    partial = salted.groupBy("k", "salt").agg(
+        F.count("*").alias("c"),
+        F.sum("l_quantity").alias("sq"),
+    )
+    return partial.groupBy("k").agg(
+        F.sum("c").alias("cnt"),
+        F.round(F.sum("sq"), 6).alias("sum_qty"),
+    )
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {d_h64("CAST(doc_id AS VARCHAR)")} % 100 <
+      CASE WHEN lang = 'en' THEN 5 ELSE 20 END
+"""
+
+
+@query("q_stratified_sample", oracle=_STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 5% of the over-represented
+    stratum (en), 20% of everything else — hash-based, so reproducible
+    across runs/engines/retries with no seed plumbing. The shape of
+    training-mixture rebalancing at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 5).otherwise(20)
+    return d.filter(h64(F.col("doc_id").cast("string")) % 100 < rate).select(
+        "doc_id", "lang"
+    )
+
+
+_QUANTIZE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {dd("embedding")} AS v FROM embeddings WHERE vec_id < 100
+), stats AS (
+  SELECT vec_id, v,
+         list_min(v) AS lo,
+         list_max(v) AS hi
+  FROM base
+)
+SELECT vec_id,
+       CAST(unnest(range(0, len(v))) AS INTEGER) AS dim,
+       CAST(unnest(list_transform(v,
+         x -> CASE WHEN hi = lo THEN 0
+                   ELSE CAST(floor((x - lo) / (hi - lo) * 255.0) AS INTEGER) END
+       )) AS INTEGER) AS q
+FROM stats
+"""
+
+
+@query("q_quantize_embedding", oracle=_QUANTIZE_ORACLE)
+def q_quantize_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to uint8 range (min-max, 256 levels):
+    4x smaller vectors for the ANN candidate pass, exact re-rank on the
+    survivors — the standard memory/recall trade at billion-vector scale.
+    Pure column math; exploded for value-exact checking."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = V.as_double_array("embedding")
+    base = e.select("vec_id", v.alias("v"))
+    stats = base.select(
+        "vec_id", "v",
+        F.array_min("v").alias("lo"),
+        F.array_max("v").alias("hi"),
+    )
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0)
+            .cast("int")
+        ),
+    )
+    return stats.select("vec_id", F.posexplode(q).alias("dim", "q"))
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / 25.0) AS INTEGER) AS bucket
+  FROM events
+)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@query("q_histogram", oracle=_HISTOGRAM_ORACLE)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — the distribution profile that at
+    100 TB replaces "look at the values": one partial+final count
+    aggregation regardless of data size."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("int").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
