@@ -78,6 +78,42 @@ def minhash_cols(hashed: Column, num_hashes: int = MINHASH_NUM_HASHES) -> list[C
     ]
 
 
+# polynomial combination constant for word-hash n-grams; intermediates stay
+# < 2^45 (ANSI-safe: Spark 4 errors on long overflow, DuckDB on BIGINT)
+SHINGLE_COMBINE = 8191
+
+
+def shingle_hashes_exploded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, __s) rows — one integer hash per word n-gram, built from ONE
+    md5 per WORD plus integer combination of consecutive word hashes
+    (lead() over position). The n-gram *strings* never materialize: the
+    naive form (slice + array_join per position, then md5 per shingle)
+    spends most of its time constructing and hashing ~20-char strings.
+    Words repeat heavily, shingles don't — hashing words is strictly less
+    work, and everything downstream is integer math.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("__pos", "__w")
+    )
+    wh = toks.select(
+        id_col,
+        "__pos",
+        H.h64(F.col("__w"), nchars=MINHASH_BASE_HEX).alias("__h"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    s = F.col("__h")
+    for k in range(1, shingle_words):
+        s = (s * SHINGLE_COMBINE + F.lead("__h", k).over(w)) % MINHASH_P
+    return wh.select(F.col(id_col), s.alias("__s")).filter(
+        F.col("__s").isNotNull()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -85,25 +121,23 @@ def minhash_signatures(
     shingle_words: int = 3,
     num_hashes: int = MINHASH_NUM_HASHES,
 ) -> DataFrame:
-    """(id, mh0..mh7) signatures via explode → hash once → min-aggregate.
+    """(id, mh0..mh7) signatures via explode → hash words once → integer
+    shingle hashes → min-aggregate.
 
     The row-local form (:func:`minhash_cols` over an array column) is
     algebraically identical, but Catalyst's project-collapsing re-inlines
     the shingle-construction expression into every signature column — 8x
-    the string work (measured 58s vs ~4s on the sf0.1 corpus). Exploding
-    pays one narrow shuffle of partially-aggregated (id, 8 mins) rows —
-    at 100 TB that shuffle carries 8 longs per document, nothing more.
+    the work (measured 58s vs ~4s on the sf0.1 corpus). Exploding pays one
+    narrow shuffle of (id, pos, word-hash) rows; the window and the final
+    aggregation share the same hash partitioning, so there is exactly one
+    shuffle — at 100 TB it carries three longs per token, nothing more.
 
     Documents with no shingles (< shingle_words words) produce no rows,
     matching the NULL-signature filter of the row-local form.
     """
-    sh = T.word_shingles(text_col, shingle_words)
-    feats = df.select(F.col(id_col), F.explode(sh).alias("__s"))
-    hashed = feats.select(
-        id_col, H.h64(F.col("__s"), nchars=MINHASH_BASE_HEX).alias("__h")
-    )
+    hashed = shingle_hashes_exploded(df, id_col, text_col, shingle_words)
     mins = [
-        F.min((F.lit(MINHASH_A[j]) * F.col("__h") + F.lit(MINHASH_B[j]))
+        F.min((F.lit(MINHASH_A[j]) * F.col("__s") + F.lit(MINHASH_B[j]))
               % F.lit(MINHASH_P)).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
@@ -285,6 +319,10 @@ def simhash_bytes(sh: Column, n_bytes: int = 4) -> Column:
     )
 
 
+SIMHASH_MIX_A = 48271  # extra affine mix over the shingle hash
+SIMHASH_MIX_B = 11939
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -292,34 +330,23 @@ def simhash_signatures(
     bits: int = SIMHASH_BITS,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """SimHash per document via explode → hash once → 32-way conditional
-    count. The row-local :func:`simhash` column duplicates the feature
-    expression per bit (codegen blowup at 32 bits); this form hashes each
-    feature exactly once and computes all bits in a single partial+final
-    aggregation — the shape that scales: the shuffle carries only
-    (id, 32-hex-char) rows."""
-    feats = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                T.word_shingles(text_col, shingle_words)
-                if shingle_words
-                else T.tokens(text_col)
-            )
-        ).alias("__f"),
-    )
-    # Parse the md5 prefix into one 32-bit integer per feature, then test
-    # bits with integer div/mod — one hash + one conv per feature instead
-    # of 32 substring compares (the substring form measured ~3x slower).
-    hashed = feats.select(
+    """SimHash per document: integer shingle hashes (see
+    :func:`shingle_hashes_exploded`) → distinct per doc → affine mix →
+    per-bit conditional counts in one partial+final aggregation. The
+    row-local :func:`simhash` column duplicates the feature expression per
+    bit (codegen blowup); this form hashes each word exactly once."""
+    hashed = shingle_hashes_exploded(df, id_col, text_col, shingle_words or 3)
+    distinct = hashed.dropDuplicates([id_col, "__s"])
+    mixed = distinct.select(
         id_col,
-        F.conv(F.substring(F.md5("__f"), 1, 8), 16, 10).cast("bigint").alias("__v"),
+        ((F.lit(SIMHASH_MIX_A) * F.col("__s") + F.lit(SIMHASH_MIX_B))
+         % F.lit(MINHASH_P)).alias("__v"),
     )
     bit_counts = [
         F.sum((F.expr(f"__v div {1 << b}") % 2).cast("int")).alias(f"__c{b}")
         for b in range(bits)
     ]
-    agged = hashed.groupBy(id_col).agg(F.count("*").alias("__n"), *bit_counts)
+    agged = mixed.groupBy(id_col).agg(F.count("*").alias("__n"), *bit_counts)
     sh = sum(
         F.when(F.col(f"__c{b}") * 2 > F.col("__n"), F.lit(1 << b)).otherwise(0)
         for b in range(bits)

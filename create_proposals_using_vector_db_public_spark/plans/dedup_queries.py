@@ -72,28 +72,38 @@ _SHINGLES = (
 )
 
 
+# integer word-hash + polynomial n-gram combination, mirroring
+# operators.dedup.shingle_hashes_exploded
+_WORD_HASHES = (
+    f"list_transform({_WORDS}, w -> "
+    f"CAST(concat('0x', substr(md5(w), 1, {D.MINHASH_BASE_HEX})) AS BIGINT))"
+)
+_SHINGLE_HASHES = (
+    "CASE WHEN len(wh) >= 3 THEN "
+    "list_transform(range(1, len(wh) - 1), i -> "
+    f"(((wh[i] * {D.SHINGLE_COMBINE} + wh[i+1]) % {D.MINHASH_P}) "
+    f"* {D.SHINGLE_COMBINE} + wh[i+2]) % {D.MINHASH_P}) "
+    "ELSE [] END"
+)
+
+
 def _minhash_sql() -> str:
     mh = ",\n         ".join(
-        f"list_min(list_transform(hashed, "
+        f"list_min(list_transform(shingles, "
         f"h -> ({D.MINHASH_A[j]} * h + {D.MINHASH_B[j]}) % {D.MINHASH_P})) "
         f"AS mh{j}"
         for j in range(NUM_HASHES)
     )
     return f"""
-words_t AS (
-  SELECT doc_id, {_WORDS} AS words FROM corpus
+wh_t AS (
+  SELECT doc_id, {_WORD_HASHES} AS wh FROM corpus
 ), shingles_t AS (
-  SELECT doc_id, {_SHINGLES} AS shingles FROM words_t
-), hashed_t AS (
-  SELECT doc_id,
-         list_transform(shingles, s ->
-           CAST(concat('0x', substr(md5(s), 1, {D.MINHASH_BASE_HEX})) AS BIGINT)
-         ) AS hashed
-  FROM shingles_t
+  SELECT doc_id, {_SHINGLE_HASHES} AS shingles FROM wh_t
 ), sigs AS (
   SELECT doc_id,
          {mh}
-  FROM hashed_t
+  FROM shingles_t
+  WHERE len(shingles) > 0
 )"""
 
 
@@ -141,7 +151,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    # hash-once integer-bit form mirroring operators.dedup.simhash_signatures
+    # integer shingle hashes + affine mix, mirroring
+    # operators.dedup.simhash_signatures
     bit_cnts = ",\n         ".join(
         f"sum((v // {1 << b}) % 2) AS c{b}" for b in range(D.SIMHASH_BITS)
     )
@@ -150,13 +161,13 @@ def _simhash_sql() -> str:
         for b in range(D.SIMHASH_BITS)
     )
     return f"""
-words_raw AS (
-  SELECT doc_id, {_WORDS} AS words FROM corpus
+wh_t AS (
+  SELECT doc_id, {_WORD_HASHES} AS wh FROM corpus
 ), feats AS (
-  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS f FROM words_raw
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_HASHES})) AS s FROM wh_t
 ), hashed AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) AS v
+         ({D.SIMHASH_MIX_A} * s + {D.SIMHASH_MIX_B}) % {D.MINHASH_P} AS v
   FROM feats
 ), cnts AS (
   SELECT doc_id, count(*) AS n,
