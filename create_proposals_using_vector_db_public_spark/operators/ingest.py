@@ -30,14 +30,19 @@ from ..functions import hashing as H
 CHUNK_KEY = ("file_name", "paragraph_idx")
 
 
-def filter_ingestible(df: DataFrame, name_col: str = "file_name") -> DataFrame:
-    """R1+R2: keep .pdf/.docx, drop Office ``~$`` lock files
-    (``app.py:121``, ``app.py:35-36``)."""
+def filter_ingestible(
+    df: DataFrame,
+    name_col: str = "file_name",
+    extensions: tuple[str, ...] = (".pdf", ".docx"),
+) -> DataFrame:
+    """R1+R2: keep allowed extensions (reference: .pdf/.docx), drop Office
+    ``~$`` lock files (``app.py:121``, ``app.py:35-36``)."""
     name = F.col(name_col)
-    return df.filter(
-        (name.endswith(".pdf") | name.endswith(".docx"))
-        & ~name.startswith("~$")
-    )
+    ext_ok = None
+    for ext in extensions:
+        cond = name.endswith(ext)
+        ext_ok = cond if ext_ok is None else (ext_ok | cond)
+    return df.filter(ext_ok & ~name.startswith("~$"))
 
 
 def split_paragraphs(
