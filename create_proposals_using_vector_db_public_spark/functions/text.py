@@ -207,5 +207,12 @@ def stub_embedding(col: Column | str, dim: int = STUB_EMBED_DIM) -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of lowercased, whitespace-normalized text —
-    the normalize-then-hash form of near-exact dedup."""
-    return H.md5_hex(F.array_join(tokens(F.lower(_c(col))), " "))
+    the normalize-then-hash form of near-exact dedup.
+
+    Single-pass normalization (lower → collapse \\s+ runs to one space →
+    trim) is algebraically identical to tokenize/trim/drop-empty/join but
+    skips the token-array materialization — this expression runs over every
+    byte of a 100 TB corpus, and the regex form measured ~4x faster than the
+    array form at sf0.1 (it was 34% of the round-1 bench headline)."""
+    normalized = F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    return H.md5_hex(normalized)

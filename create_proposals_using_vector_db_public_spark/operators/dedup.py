@@ -6,8 +6,10 @@ R9 at ``app.py:98-99``):
 - **exact**: hash group-by / keep-first-by-key,
 - **MinHash + LSH**: word-shingle MinHash signatures, banded into buckets;
   candidate pairs only form inside a bucket — the O(n²) pair space never
-  materializes. Signatures are *row-local* (``array_min(transform(...))`` —
-  no explode, no shuffle); the only shuffle is the band-bucket self-join.
+  materializes. Signatures use the exploded word-hash form (one narrow
+  shuffle of (id, pos, word-hash) longs — see
+  :func:`minhash_signatures` for why it beats the row-local array form);
+  the other shuffle is the band-bucket self-join.
 - **SimHash**: 32-bit token-set fingerprint; near-dups = small Hamming
   distance. Banded by the 4 bytes (pigeonhole: Hamming ≤ 3 ⇒ at least one
   equal byte), so again no full cross join.
@@ -38,8 +40,17 @@ MINHASH_BANDS = 2  # rows per band = NUM_HASHES // BANDS
 
 def keep_first(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Deterministic exact dedup: keep the first row per key by order_col
-    (R9 semantics — re-ingestion keeps the already-indexed row)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    (R9 semantics — re-ingestion keeps the already-indexed row).
+
+    Determinism when rows tie on (keys, order_col): all remaining columns
+    join the window ordering, giving a total order up to fully-identical
+    rows — so the surviving row is the same *value* on every run and
+    partitioning, not whichever copy a partition happened to list first.
+    (Requires orderable column types; maps would need an explicit key.)"""
+    rest = [c for c in df.columns if c not in keys and c != order_col]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).asc(), *[F.col(c).asc_nulls_first() for c in rest]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -60,8 +71,20 @@ MINHASH_A = (99991, 99989, 99971, 99961, 99929, 99923, 99907, 99901)
 MINHASH_B = (10007, 10009, 10037, 10039, 10061, 10067, 10069, 10079)
 
 
+def affine_params(j: int) -> tuple[int, int]:
+    """(a, b) for hash function j. The first 8 are the published constants
+    the DuckDB oracle mirrors; beyond that (production configs — 128 hashes
+    / 16 bands for real recall at 100 TB) the family extends with a
+    deterministic odd-stride sequence, disjoint from the published 8 and
+    still < 2^17 so every product stays far below BIGINT overflow in ANSI
+    mode and in DuckDB."""
+    if j < len(MINHASH_A):
+        return MINHASH_A[j], MINHASH_B[j]
+    return 100003 + 2 * j, 10093 + 2 * j
+
+
 def _affine(j: int):
-    a, b = MINHASH_A[j], MINHASH_B[j]
+    a, b = affine_params(j)
     # single-argument lambda on purpose — F.transform treats a two-parameter
     # callable as (element, index), so `lambda h, j=j` would silently bind
     # the constants to the ARRAY INDEX.
@@ -136,11 +159,13 @@ def minhash_signatures(
     matching the NULL-signature filter of the row-local form.
     """
     hashed = shingle_hashes_exploded(df, id_col, text_col, shingle_words)
-    mins = [
-        F.min((F.lit(MINHASH_A[j]) * F.col("__s") + F.lit(MINHASH_B[j]))
-              % F.lit(MINHASH_P)).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
+    mins = []
+    for j in range(num_hashes):
+        a, b = affine_params(j)
+        mins.append(
+            F.min((F.lit(a) * F.col("__s") + F.lit(b)) % F.lit(MINHASH_P))
+            .alias(f"mh{j}")
+        )
     return hashed.groupBy(id_col).agg(*mins)
 
 
@@ -221,12 +246,19 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_words: int = 3,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded candidates →
-    threshold on estimated Jaccard."""
+    threshold on estimated Jaccard. Defaults (8 hashes / 2 bands) fit the
+    oracle fixture; production recall at 100 TB wants num_hashes=128,
+    bands=16 — the match probability is 1-(1-j^(n/b))^b, and 8/2 misses too
+    many 0.5-Jaccard pairs for a real pipeline."""
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
-                              shingle_words=shingle_words)
-    pairs = lsh_candidate_pairs(sigs, id_col)
+                              shingle_words=shingle_words,
+                              num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes,
+                                bands=bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 

@@ -38,7 +38,11 @@ def asof_join(
     ``right_ts <= left_ts`` in the same key group (backward as-of).
 
     Rows tie-break as (ts, right-before-left[, tiebreak]) so a right row at
-    exactly left_ts is matched — the `<=` convention.
+    exactly left_ts is matched — the `<=` convention. When several right
+    rows share (key, ts) and no explicit ``tiebreak`` column is given, the
+    payload columns themselves complete the ordering, so the row with the
+    greatest payload tuple wins deterministically on every run/partitioning
+    (payload types must be orderable for this default).
     """
     lcols = [c for c in left.columns]
     l = left.select(
@@ -61,6 +65,14 @@ def asof_join(
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc_nulls_first())
+    else:
+        # total order among tied right rows: last() then deterministically
+        # carries the greatest payload tuple (nulls sort first, so real
+        # right payloads beat the left rows' null placeholders only via
+        # ignorenulls, unchanged)
+        order.extend(
+            F.col(f"__r_{c}").asc_nulls_first() for c in right_payload
+        )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order)

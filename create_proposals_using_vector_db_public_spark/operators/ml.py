@@ -85,22 +85,31 @@ def embedder_udf(dim: int = EMBED_DIM, max_length: int = 512):
         import torch
 
         tok, model = bundle
-        out = []
-        for t in texts:
-            if not t:
-                out.append([0.0] * dim)
-                continue
+        # One tokenizer call + ONE forward pass per Arrow batch — the whole
+        # point of the pandas_udf over the reference's row-at-a-time loop
+        # (app.py:101; SURVEY §4: batching is the single biggest speedup).
+        # Empty texts get zero vectors (R8) without entering the model.
+        vals = ["" if t is None else str(t) for t in texts]
+        nonempty = [i for i, t in enumerate(vals) if t]
+        out: list[list[float]] = [[0.0] * dim] * len(vals)
+        if nonempty:
             with torch.no_grad():
                 enc = tok(
-                    t,
+                    [vals[i] for i in nonempty],
                     return_tensors="pt",
                     truncation=True,
                     padding=True,
                     max_length=max_length,
                 )
                 hidden = model(**enc).last_hidden_state
-                vec = hidden.mean(dim=1).squeeze().float().numpy()
-            out.append([float(x) for x in vec])
+                # attention-masked mean pool: padded positions must not
+                # dilute the mean (a plain .mean(dim=1) would — padding is
+                # per-batch here, unlike the reference's single-row calls)
+                mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+                pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1)
+                vecs = pooled.float().cpu().numpy()
+            for row, i in enumerate(nonempty):
+                out[i] = [float(x) for x in vecs[row]]
         return pd.Series(out)
 
     return embed

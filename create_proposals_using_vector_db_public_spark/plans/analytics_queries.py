@@ -262,24 +262,68 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CORR_ORACLE = """
+# corr()/covar_samp() accumulate doubles in engine-specific order, so their
+# 6th decimal differs between Spark and DuckDB (round-1 hash-fail). Both
+# sides therefore compute the statistics from EXACT decimal moment sums and
+# the same IEEE-double scalar formula, so the rounded results match exactly
+# (SURVEY §7 trap 5). DECIMAL(14,2) because (a) every column is an exact
+# ≤2dp value, so the cast is lossless and order-independent, and (b) the
+# scaled int64 products stay ~1e14 — DuckDB 1.0 multiplies decimal in int64
+# and overflows at runtime past ~9.2e18 (scale 4+ casts blew up here).
+_CORR_MOMENTS_SQL = """
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
-       round(avg(l_quantity), 6) AS avg_qty
+       count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(14,2))) AS sx,
+       sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+       sum(CAST(l_quantity AS DECIMAL(14,2))
+           * CAST(l_quantity AS DECIMAL(14,2))) AS sxx,
+       sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy,
+       sum(CAST(l_quantity AS DECIMAL(14,2))
+           * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+       sum(CAST(l_discount AS DECIMAL(14,2))) AS sd,
+       sum(CAST(l_tax AS DECIMAL(14,2))) AS st,
+       sum(CAST(l_discount AS DECIMAL(14,2))
+           * CAST(l_tax AS DECIMAL(14,2))) AS sdt
 FROM lineitem
 GROUP BY l_returnflag
 """
 
+# identical double algebra on both sides: corr = (n·Sxy − Sx·Sy) /
+# (sqrt(n·Sxx − Sx²)·sqrt(n·Syy − Sy²)), covar_samp = (n·Sdt − Sd·St)/(n·(n−1)).
+# The trailing `+ 0.0` normalizes IEEE negative zero: round() lands on -0.0
+# for tiny negative covariances and the engines would hash "-0.0" vs "0.0".
+_CORR_FINAL_SQL = """
+SELECT l_returnflag,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) + 0.0 AS qty_price_corr,
+       round((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)),
+             6) + 0.0 AS disc_tax_cov,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty
+FROM moments
+"""
+
+_CORR_ORACLE = f"WITH moments AS ({_CORR_MOMENTS_SQL}) {_CORR_FINAL_SQL}"
+
 
 @query("q_corr_stats", oracle=_CORR_ORACLE)
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance from exact decimal moment sums. Scale note:
+    this is the one-pass parallel moments form — partial sums per partition,
+    one final reduce; no second pass over the data like the naive
+    mean-then-deviation formulation."""
     e = load_table(spark, sf_dir, "lineitem")
-    return e.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-    )
+    e.createOrReplaceTempView("lineitem")
+    moments = spark.sql(_CORR_MOMENTS_SQL)
+    moments.createOrReplaceTempView("moments")
+    return spark.sql(_CORR_FINAL_SQL)
 
 
 # --- cube / pivot ------------------------------------------------------------

@@ -142,9 +142,13 @@ SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
 @query("q_dedup_minhash", oracle=_MINHASH_ORACLE)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(2 bands) near-dup pairs over the planted corpus.
-    Signatures are row-local (array_min over hashed shingles — no explode,
-    no shuffle); the only shuffle is the band-bucket self-join, which is
-    what makes this O(n·bucket) instead of O(n²) at 100 TB."""
+    Signatures come from the exploded word-hash form — one narrow shuffle
+    of (id, pos, word-hash) longs (operators.dedup.minhash_signatures
+    explains why it beats the row-local array form); the band-bucket
+    self-join is the only other shuffle, which is what makes this
+    O(n·bucket) instead of O(n²) at 100 TB. Defaults 8 hashes / 2 bands fit
+    the oracle; production recall wants 128/16 — both are parameters
+    (tested at a non-default setting in tests/test_dedup.py)."""
     return D.minhash_dedup_pairs(
         _corpus(spark, sf_dir), id_col="doc_id", text_col="text", threshold=0.5
     )
@@ -286,14 +290,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# single-pass normalize mirroring functions.text.fingerprint exactly —
+# note DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+# occurrences by default, DuckDB only the first)
 _FINGERPRINT_ORACLE = f"""
 WITH {_CORPUS_SQL.strip()},
 fp AS (
   SELECT doc_id,
-         md5(array_to_string(
-           list_filter(list_transform(string_split_regex(lower(text), '\\s+'),
-                                      w -> trim(w)), w -> length(w) > 0),
-           ' ')) AS fingerprint
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
   FROM corpus
 )
 SELECT fingerprint,
