@@ -94,6 +94,29 @@ def windowed_event_counts(
     )
 
 
+def available_now_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    timeout_sec: int = 300,
+) -> None:
+    """One AvailableNow pass into a parquet sink with a persistent
+    checkpoint — the durable form of the reference's re-scan semantics
+    (``app_callapi.py:165-174``): run once, stop; run again later from the
+    SAME checkpoint and only files that arrived in between are processed
+    (the checkpointed file log replaces ``doc_hash.pkl``). Exactly-once per
+    file across runs."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def available_now_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",

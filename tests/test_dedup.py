@@ -91,3 +91,29 @@ def test_simhash_signature_deterministic(spark):
     a = D.simhash_signatures(_corpus(spark)).collect()
     b = D.simhash_signatures(_corpus(spark)).collect()
     assert {r["doc_id"]: r["sh"] for r in a} == {r["doc_id"]: r["sh"] for r in b}
+
+
+def test_minhash_nondefault_production_params(spark):
+    """The 8-hash/2-band default fits the oracle; real 100 TB recall wants
+    wider configs (128/16-class). Run the full pipeline at a non-default
+    16-hash/4-band setting: the affine family must extend past the 8
+    published constants and identical docs must still collide in every
+    band."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_dedup_pairs(
+            _corpus(spark), threshold=0.5, num_hashes=16, bands=4
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs agree on all 16 hashes
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_affine_params_distinct_and_bounded():
+    seen = set()
+    for j in range(128):
+        a, b = D.affine_params(j)
+        assert (a, b) not in seen
+        seen.add((a, b))
+        # products must stay far below int64 overflow in ANSI/DuckDB math
+        assert a * D.MINHASH_P < 2**62 and b < D.MINHASH_P

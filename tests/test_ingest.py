@@ -91,3 +91,61 @@ def test_zero_vector_for_empty_text(spark):
     assert by_text[""] == [0.0, 0.0]        # app_callapi.py:112
     assert by_text[None] == [0.0, 0.0]
     assert by_text["hi"] == [1.0, 2.0]
+
+
+# --- the reference's own fixture corpus (read-only) --------------------------
+
+REF_DOCS = "/root/reference/documents"
+
+
+def test_reference_corpus_scan_and_lockfile_skip(spark):
+    """Drive the real binaryFile scan over the reference's fixture corpus
+    (app.py:117-132): 11 files on disk, one of which is the Office lock
+    file ~$eport9.docx that R2 (app.py:35-36) must drop."""
+    import os
+
+    from create_proposals_using_vector_db_public_spark.sources import binaryfile as B
+
+    if not os.path.isdir(REF_DOCS):
+        import pytest
+
+        pytest.skip("reference fixture corpus not present")
+
+    scanned = B.read_binary_folder(spark, REF_DOCS, glob="*.docx")
+    names = sorted(r["file_name"] for r in scanned.select("file_name").collect())
+    assert "~$eport9.docx" in names and len(names) == 11
+
+    kept = B.ingest_folder(spark, REF_DOCS)
+    files = {r["file_name"] for r in kept.select("file_name").distinct().collect()}
+    assert "~$eport9.docx" not in files
+    assert len(files) == 10  # AIReport.docx + report.docx + report2..9
+
+
+def test_reference_corpus_hashes_and_paragraphs(spark):
+    """Real-bytes plumbing: every fixture file gets a distinct sha256 (R10),
+    and the extract→split path yields non-empty paragraph rows with
+    contiguous-from-zero-free positional indexes (R5/R6) even on the
+    fallback UTF-8 decode of real docx bytes."""
+    import os
+
+    from create_proposals_using_vector_db_public_spark.sources import binaryfile as B
+
+    if not os.path.isdir(REF_DOCS):
+        import pytest
+
+        pytest.skip("reference fixture corpus not present")
+
+    chunks = B.ingest_folder(spark, REF_DOCS)
+    per_file = (
+        chunks.groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.first("file_sha256").alias("sha"),
+            F.min("paragraph_idx").alias("min_idx"),
+        )
+        .collect()
+    )
+    assert len(per_file) == 10
+    assert all(r["n_paragraphs"] > 0 for r in per_file)
+    assert len({r["sha"] for r in per_file}) == 10  # all distinct content
+    assert all(r["min_idx"] >= 0 for r in per_file)

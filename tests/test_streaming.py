@@ -79,6 +79,39 @@ def test_watermark_dedup_drops_duplicate_keys(spark, watch_dir):
     assert sorted(r["file_name"] for r in out.collect()) == ["f1", "f2"]
 
 
+def test_incremental_pickup_across_runs(spark, watch_dir, tmp_path):
+    """The reference's re-scan semantics (app_callapi.py:165-174): a second
+    AvailableNow run from the SAME checkpoint processes only files that
+    arrived after the first run — no reprocessing, no loss."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_file(spark, watch_dir, "a.parquet", [("f1.docx", "one", t0)])
+    stream = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    S.available_now_to_parquet(stream, out, ckpt)
+    batch1 = spark.read.parquet(out).collect()
+    assert sorted(r["file_name"] for r in batch1) == ["f1.docx"]
+
+    # a new file arrives between runs; f1 must NOT be reprocessed
+    _write_file(
+        spark,
+        watch_dir,
+        "b.parquet",
+        [("f2.docx", "two", t0), ("f3.docx", "three", t0)],
+    )
+    stream2 = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    S.available_now_to_parquet(stream2, out, ckpt)
+    batch2 = spark.read.parquet(out).collect()
+    assert sorted(r["file_name"] for r in batch2) == [
+        "f1.docx",
+        "f2.docx",
+        "f3.docx",
+    ]  # exactly-once: one row per file across both runs
+
+
 def test_windowed_event_counts(spark, watch_dir):
     import datetime as dt
 
