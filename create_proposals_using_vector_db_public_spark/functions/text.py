@@ -205,6 +205,27 @@ def stub_embedding(col: Column | str, dim: int = STUB_EMBED_DIM) -> Column:
     )
 
 
+# --- PII scrubbing (north-star cleaning family) ---
+#
+# Patterns deliberately use only syntax shared by Java regex (Spark) and
+# RE2 (DuckDB) — char classes, bounded repeats, no lookarounds — so the
+# oracle mirrors them character for character.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def redact(col: Column | str, pattern: str, token: str) -> Column:
+    """Replace every match of `pattern` with `token` — email/phone scrub
+    for training-data pipelines. Pure Column expression: the 100 TB scrub
+    pass stays inside whole-stage codegen, no Python in the loop."""
+    return F.regexp_replace(_c(col), pattern, token)
+
+
+def pii_match_count(col: Column | str, pattern: str) -> Column:
+    """Number of matches of `pattern` (redaction accounting)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0)))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of lowercased, whitespace-normalized text —
     the normalize-then-hash form of near-exact dedup.

@@ -262,6 +262,60 @@ def minhash_dedup_pairs(
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Connected components over near-dup pairs by min-label propagation:
+    every node starts labeled with its own id; each round every node takes
+    the minimum label among itself and its neighbors. After the clusters'
+    diameter in rounds, the label IS the component id (min member id) — the
+    "keep one per near-dup cluster" step that follows any pair-producing
+    dedup family.
+
+    Fixed ``rounds`` keeps the computation identical across engines (the
+    DuckDB oracle runs the same rounds); near-dup clusters are shallow in
+    practice (dup groups, not long chains), so a small constant suffices.
+    Scale: each round is one join + one groupBy on (node) — shuffle keyed by
+    node id only, labels are two longs per row. ``checkpoint`` truncates the
+    pair lineage first (standard for iterative algorithms — without it every
+    round re-inlines the full signature pipeline into the plan).
+    """
+    if checkpoint:
+        pairs = pairs.localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("__nb_min"))
+        )
+        labels = (
+            labels.join(nb, labels["node"] == nb["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # --- n-gram Jaccard (exact, blocked) -----------------------------------------
 
 def ngram_jaccard_pairs(

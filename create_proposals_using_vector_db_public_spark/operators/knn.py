@@ -140,6 +140,48 @@ def ivf_assign(
     )
 
 
+def kmeans_update(
+    assigned_df: DataFrame,
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd update step: component-wise mean of the vectors assigned to
+    each centroid → (centroid_id, centroid_vec).
+
+    Shape: posexplode to (centroid, pos, value) → decimal-sum aggregate →
+    rebuild the array. One shuffle keyed by (centroid_id, pos) — dim×k
+    groups, trivially parallel, no vector ever crosses the wire whole.
+    Means are computed from DECIMAL(27,10) sums so the result is
+    order-independent (bit-identical across runs, partitionings, and
+    engines — SURVEY §7 trap 5), then rounded to ``round_to``.
+    """
+    parts = assigned_df.select(
+        F.col(centroid_id_col),
+        F.posexplode(V.as_double_array(vec_col)).alias("__pos", "__val"),
+    )
+    comp = parts.groupBy(centroid_id_col, "__pos").agg(
+        (
+            F.sum(F.col("__val").cast("decimal(27,10)")).cast("double")
+            / F.count("*")
+        ).alias("__mean")
+    )
+    return (
+        comp.groupBy(centroid_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__mean")))
+            ).alias("__pairs")
+        )
+        .select(
+            centroid_id_col,
+            F.transform(
+                F.col("__pairs"), lambda p: F.round(p["__mean"], round_to)
+            ).alias("centroid_vec"),
+        )
+    )
+
+
 def ivf_search(
     corpus_df: DataFrame,
     centroids_df: DataFrame,

@@ -19,4 +19,5 @@ from . import (  # noqa: F401,E402
     analytics_queries,  # tfidf/bm25/sessionize/stats/cube/pivot
     relational_queries,
     ingest_queries,
+    pipeline_queries,   # round-2 additions: PII/repetition/boilerplate/clusters/ivf-kmeans
 )

@@ -117,3 +117,15 @@ def test_affine_params_distinct_and_bounded():
         seen.add((a, b))
         # products must stay far below int64 overflow in ANSI/DuckDB math
         assert a * D.MINHASH_P < 2**62 and b < D.MINHASH_P
+
+
+def test_dup_clusters_label_propagation(spark):
+    # chain 1-2, 2-5 plus isolated pair 7-9: components {1,2,5} and {7,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 9)], "id_a: long, id_b: long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(pairs, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}

@@ -55,3 +55,22 @@ def test_ivf_search_prunes_to_probed_cells(spark):
     assert [r["vec_id"] for r in rows] == [9, 8, 7]
     # vectors in the unprobed cell are never candidates
     assert all(r["vec_id"] >= 5 for r in rows)
+
+
+def test_kmeans_update_component_means(spark):
+    from create_proposals_using_vector_db_public_spark.operators import knn as K
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 3.0]),
+            (0, [3.0, 5.0]),
+            (1, [10.0, 20.0]),
+        ],
+        "centroid_id: int, embedding: array<float>",
+    )
+    cents = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in K.kmeans_update(df).collect()
+    }
+    assert cents[0] == [2.0, 4.0]
+    assert cents[1] == [10.0, 20.0]
