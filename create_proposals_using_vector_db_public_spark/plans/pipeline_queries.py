@@ -235,6 +235,41 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(pairs, rounds=3)
 
 
+# --- custom stateful streaming operator --------------------------------------
+
+_STATEFUL_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_stream_stateful", oracle=_STATEFUL_ORACLE)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming operator (applyInPandasWithState): per-key
+    running totals in the checkpointed state store. With AvailableNow the
+    whole table is one logical run, so the cumulative totals equal the
+    batch aggregation exactly — which is what the oracle checks. Cross-run
+    state continuation is proven by tests/test_streaming.py."""
+    from pyspark.sql.types import LongType
+
+    from ..streaming import available_now_to_memory, running_counts_stateful
+    from .streaming_queries import _events_stream
+
+    ev = _events_stream(spark, sf_dir)
+    counts = running_counts_stateful(
+        ev, key_col="event_type", ts_col="ts_us", ts_type=LongType()
+    )
+    out = available_now_to_memory(counts, output_mode="update")
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("last_ts").cast("bigint").alias("last_ts"),
+    )
+
+
 # --- IVF with a k-means-trained codebook -------------------------------------
 
 _IVF_KMEANS_ORACLE = f"""

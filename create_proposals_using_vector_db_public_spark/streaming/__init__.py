@@ -6,3 +6,7 @@ from .ingest_stream import (  # noqa: F401
     watermark_dedup,
     windowed_event_counts,
 )
+from .stateful import (  # noqa: F401
+    run_update_to_parquet,
+    running_counts_stateful,
+)

@@ -133,3 +133,36 @@ def test_windowed_event_counts(spark, watch_dir):
     out = S.available_now_to_memory(win, output_mode="complete")
     counts = sorted(r["cnt"] for r in out.collect())
     assert counts == [1, 2]  # two tumbling windows: 2 early + 1 late event
+
+
+def test_stateful_counts_survive_across_runs(spark, watch_dir, tmp_path):
+    """applyInPandasWithState: per-key totals live in the checkpointed
+    state store, so a second AvailableNow run CONTINUES the counts instead
+    of restarting them (the reference's dict-in-driver state, made durable)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_file(
+        spark,
+        watch_dir,
+        "a.parquet",
+        [("a", "x", t0), ("a", "y", t0), ("a", "z", t0), ("b", "w", t0)],
+    )
+    stream = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    counts = S.running_counts_stateful(stream, key_col="file_name", ts_col="ts")
+    S.run_update_to_parquet(counts, out, ckpt)
+    r1 = {r["file_name"]: r["n_events"] for r in spark.read.parquet(out).collect()}
+    assert r1 == {"a": 3, "b": 1}
+
+    t1 = t0 + dt.timedelta(hours=1)
+    _write_file(spark, watch_dir, "b.parquet", [("a", "q", t1), ("a", "r", t1)])
+    stream2 = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    counts2 = S.running_counts_stateful(stream2, key_col="file_name", ts_col="ts")
+    S.run_update_to_parquet(counts2, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    # batch 2 emitted only key 'a', with the CUMULATIVE total 3+2=5
+    assert max(r["n_events"] for r in rows if r["file_name"] == "a") == 5
+    assert max(r["n_events"] for r in rows if r["file_name"] == "b") == 1
