@@ -182,6 +182,53 @@ def kmeans_update(
     )
 
 
+def kmeans_codebook(
+    corpus_df: DataFrame,
+    seeds_df: DataFrame,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_vec_col: str = "centroid_vec",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Lloyd's k-means codebook training: alternate :func:`ivf_assign` and
+    :func:`kmeans_update` for a fixed number of iterations, starting from
+    deterministic seeds. Returns (centroid_id, centroid_vec).
+
+    Each iteration materializes only the centroids (k × dim doubles — a
+    parameter, not data), so the lineage stays flat: localCheckpoint per
+    iteration truncates the plan the way every iterative Spark algorithm
+    must, and the corpus is re-scanned once per iteration — exactly the
+    k-means I/O lower bound. Empty clusters keep their previous centroid.
+    """
+    cents = seeds_df.select(
+        F.col(centroid_id_col),
+        V.as_double_array(centroid_vec_col).alias(centroid_vec_col),
+    )
+    corpus = corpus_df.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, cents, vec_col, id_col, centroid_vec_col, centroid_id_col
+        )
+        updated = kmeans_update(assigned, vec_col, centroid_id_col).select(
+            centroid_id_col, F.col("centroid_vec").alias(centroid_vec_col)
+        )
+        # empty clusters: fall back to the previous centroid so k is stable
+        cents = (
+            cents.alias("prev")
+            .join(updated.alias("upd"), on=centroid_id_col, how="left")
+            .select(
+                F.col(centroid_id_col),
+                F.coalesce(
+                    F.col(f"upd.{centroid_vec_col}"),
+                    F.col(f"prev.{centroid_vec_col}"),
+                ).alias(centroid_vec_col),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
 def ivf_search(
     corpus_df: DataFrame,
     centroids_df: DataFrame,

@@ -270,6 +270,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≤2dp value, so the cast is lossless and order-independent, and (b) the
 # scaled int64 products stay ~1e14 — DuckDB 1.0 multiplies decimal in int64
 # and overflows at runtime past ~9.2e18 (scale 4+ casts blew up here).
+# {tbl} parameterizes the source identifier only (Spark uses a namespaced
+# temp view, DuckDB the pre-registered lineitem view) — the algebra text is
+# shared verbatim.
 _CORR_MOMENTS_SQL = """
 SELECT l_returnflag,
        count(*) AS n,
@@ -285,7 +288,7 @@ SELECT l_returnflag,
        sum(CAST(l_tax AS DECIMAL(14,2))) AS st,
        sum(CAST(l_discount AS DECIMAL(14,2))
            * CAST(l_tax AS DECIMAL(14,2))) AS sdt
-FROM lineitem
+FROM {tbl}
 GROUP BY l_returnflag
 """
 
@@ -307,10 +310,13 @@ SELECT l_returnflag,
              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)),
              6) + 0.0 AS disc_tax_cov,
        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty
-FROM moments
+FROM {tbl}
 """
 
-_CORR_ORACLE = f"WITH moments AS ({_CORR_MOMENTS_SQL}) {_CORR_FINAL_SQL}"
+_CORR_ORACLE = (
+    f"WITH moments AS ({_CORR_MOMENTS_SQL.format(tbl='lineitem')}) "
+    f"{_CORR_FINAL_SQL.format(tbl='moments')}"
+)
 
 
 @query("q_corr_stats", oracle=_CORR_ORACLE)
@@ -320,10 +326,10 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one final reduce; no second pass over the data like the naive
     mean-then-deviation formulation."""
     e = load_table(spark, sf_dir, "lineitem")
-    e.createOrReplaceTempView("lineitem")
-    moments = spark.sql(_CORR_MOMENTS_SQL)
-    moments.createOrReplaceTempView("moments")
-    return spark.sql(_CORR_FINAL_SQL)
+    e.createOrReplaceTempView("__corr_lineitem")
+    moments = spark.sql(_CORR_MOMENTS_SQL.format(tbl="__corr_lineitem"))
+    moments.createOrReplaceTempView("__corr_moments")
+    return spark.sql(_CORR_FINAL_SQL.format(tbl="__corr_moments"))
 
 
 # --- cube / pivot ------------------------------------------------------------

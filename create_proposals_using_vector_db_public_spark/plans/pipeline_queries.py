@@ -235,6 +235,58 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(pairs, rounds=3)
 
 
+# --- sequence analytics: lag/lead deltas -------------------------------------
+
+_LAG_LEAD_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         lag(epoch_us(ts)) OVER w AS prev_us,
+         lead(epoch_us(ts)) OVER w AS next_us,
+         first_value(value) OVER w AS first_val
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(ts_us - prev_us AS BIGINT) AS us_since_prev,
+       CAST(next_us - ts_us AS BIGINT) AS us_to_next,
+       round(value - first_val, 6) + 0.0 AS delta_from_first
+FROM seq
+WHERE prev_us IS NOT NULL
+"""
+
+
+@query("q_lag_lead", oracle=_LAG_LEAD_ORACLE)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value sequence deltas per user — inter-event gaps and
+    drift from session start, the standard event-sequence featurization.
+    One shuffle on user_id; all three window functions share the same
+    (partition, order) so Spark evaluates them in a single Window node.
+    Ordering/arithmetic uses integer microseconds (sources.load_events
+    exposes ts_us; DuckDB reads TIMESTAMP_NS at µs precision too)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        F.lag("ts_us").over(w).alias("prev_us"),
+        F.lead("ts_us").over(w).alias("next_us"),
+        F.first("value").over(w).alias("first_val"),
+    )
+    return seq.filter(F.col("prev_us").isNotNull()).select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") - F.col("prev_us")).alias("us_since_prev"),
+        (F.col("next_us") - F.col("ts_us")).alias("us_to_next"),
+        (F.round(F.col("value") - F.col("first_val"), 6) + F.lit(0.0)).alias(
+            "delta_from_first"
+        ),  # + 0.0 normalizes IEEE -0.0 (same guard as q_corr_stats)
+    )
+
+
 # --- custom stateful streaming operator --------------------------------------
 
 _STATEFUL_ORACLE = """

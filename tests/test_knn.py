@@ -74,3 +74,23 @@ def test_kmeans_update_component_means(spark):
     }
     assert cents[0] == [2.0, 4.0]
     assert cents[1] == [10.0, 20.0]
+
+
+def test_kmeans_codebook_converges_on_separated_clusters(spark):
+    from create_proposals_using_vector_db_public_spark.operators import knn as K
+
+    # two well-separated blobs; seeds start inside each blob
+    rows = [(i, [0.0 + 0.1 * i, 0.0]) for i in range(4)] + [
+        (10 + i, [100.0 + 0.1 * i, 50.0]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 50.0])],
+        "centroid_id: int, centroid_vec: array<float>",
+    )
+    cents = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in K.kmeans_codebook(df, seeds, iters=3).collect()
+    }
+    assert abs(cents[0][0] - 0.15) < 1e-6 and cents[0][1] == 0.0
+    assert abs(cents[1][0] - 100.15) < 1e-6 and cents[1][1] == 50.0
