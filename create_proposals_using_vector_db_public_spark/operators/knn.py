@@ -140,6 +140,36 @@ def ivf_assign(
     )
 
 
+def lsh_search(
+    corpus_df: DataFrame,
+    query_vec: Sequence[float] | Column,
+    k: int,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hyperplane-LSH ANN: bucket every vector by the sign pattern of
+    ``n_planes`` deterministic projections (operators.dedup.
+    random_hyperplane_block — the same blocks the embedding near-dup
+    family uses), then exact-search only the query's bucket.
+
+    The other scale path next to :func:`ivf_search`: no codebook to train,
+    2^n_planes buckets, and with the corpus partitioned by block the scan
+    prunes to ~1/2^n_planes of the data. Candidates from the bucket go
+    through :func:`knn`, so ranking semantics (L2 order, cosine reported,
+    1-based rank) are identical to the exact path.
+    """
+    from . import dedup as D
+
+    q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
+    blocked = corpus_df.withColumn(
+        "__blk", D.random_hyperplane_block(V.as_double_array(vec_col), n_planes)
+    )
+    qblk = D.random_hyperplane_block(q, n_planes)
+    cell = blocked.filter(F.col("__blk") == qblk).drop("__blk")
+    return knn(cell, q, k, vec_col=vec_col, id_col=id_col)
+
+
 def kmeans_update(
     assigned_df: DataFrame,
     vec_col: str = "embedding",

@@ -235,6 +235,65 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(pairs, rounds=3)
 
 
+# --- hyperplane-LSH ANN search -----------------------------------------------
+
+def _d_hyperplane_block(v: str, n_planes: int) -> str:
+    """DuckDB text for operators.dedup.random_hyperplane_block: sign
+    pattern of alternating-sum projections, sequential reduction so the
+    float result is bit-identical to Spark's F.aggregate."""
+    signs = []
+    for p in range(n_planes):
+        term = (
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip({v}, range(0, len({v}))), "
+            f"z -> CASE WHEN (z[2] // {2 ** p}) % 2 = 0 "
+            f"THEN z[1] ELSE -z[1] END)), (acc, x) -> acc + x)"
+        )
+        signs.append(f"CASE WHEN {term} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(signs) + ")"
+
+
+_ANN_LSH_ORACLE = f"""
+WITH q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 11
+), blocked AS (
+  SELECT vec_id, label, embedding,
+         {_d_hyperplane_block(dd("embedding"), 4)} AS blk
+  FROM embeddings
+), qb AS (
+  SELECT {_d_hyperplane_block("q.qv", 4)} AS qblk FROM q
+), cell AS (
+  SELECT b.vec_id, b.label, b.embedding FROM blocked b, qb
+  WHERE b.blk = qb.qblk
+), scored AS (
+  SELECT cell.vec_id, cell.label,
+         round({d_l2(dd("cell.embedding"), "q.qv")}, 6) AS dist,
+         round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) AS cosine
+  FROM cell, q
+)
+SELECT vec_id, label, dist, cosine,
+       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_ann_lsh", oracle=_ANN_LSH_ORACLE)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (operators.knn.lsh_search): bucket by 4
+    deterministic projection signs, exact-search the query's bucket only —
+    the codebook-free scale path next to IVF. With the corpus partitioned
+    by block, partition pruning scans ~1/16 of 100 TB; ranking semantics
+    inside the bucket are identical to the exact kNN path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "label", "embedding")
+    out = K.lsh_search(
+        corpus, _query_vec(spark, sf_dir, 11), k=10, n_planes=4
+    )
+    return out.select("vec_id", "label", "dist", "cosine", "rank")
+
+
 # --- sequence analytics: lag/lead deltas -------------------------------------
 
 _LAG_LEAD_ORACLE = """
