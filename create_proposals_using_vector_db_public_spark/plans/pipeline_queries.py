@@ -235,6 +235,37 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(pairs, rounds=3)
 
 
+# --- correlated scalar subquery ----------------------------------------------
+
+# {tbl} parameterizes the identifier only; the algebra text is shared.
+# The per-brand average is derived from an exact DECIMAL(14,2) sum so the
+# boundary predicate cannot flip on float summation order (same discipline
+# as q_corr_stats).
+_SCALAR_SUBQ_SQL = """
+SELECT p.p_partkey, p.p_brand,
+       round(p.p_retailprice, 6) AS retail
+FROM {tbl} p
+WHERE p.p_retailprice > 1.1 * (
+  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+         / count(*)
+  FROM {tbl} p2
+  WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+@query("q_scalar_subquery", oracle=_SCALAR_SUBQ_SQL.format(tbl="part"))
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregated scalar subquery: parts priced >10% above their
+    brand's average. Catalyst decorrelates this into an aggregate + join —
+    the rewrite that makes per-group-threshold predicates scale (the naive
+    reading is one subquery per row). .explain shows a single brand-keyed
+    aggregation joined back, not N subqueries."""
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("__subq_part")
+    return spark.sql(_SCALAR_SUBQ_SQL.format(tbl="__subq_part"))
+
+
 # --- hyperplane-LSH ANN search -----------------------------------------------
 
 def _d_hyperplane_block(v: str, n_planes: int) -> str:
