@@ -334,10 +334,14 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cube / pivot ------------------------------------------------------------
 
+# money sums via exact DECIMAL accumulation — order-independent across
+# engines/partitionings (the grand-total cell sums the whole table; a
+# double sum there diverges in the last ulp at sf>=0.1)
 _CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(o_totalprice), 6) AS total
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -348,7 +352,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 6).alias("total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"),
+            6,
+        ).alias("total"),
     )
 
 
@@ -386,7 +393,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_ORACLE = """
 SELECT c.c_nationkey,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o.o_totalprice), 6) AS total
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
 """
@@ -426,7 +434,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
     return joined.groupBy("c_nationkey").agg(
         F.count("*").alias("order_cnt"),
-        F.round(F.sum("o_totalprice"), 6).alias("total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"),
+            6,
+        ).alias("total"),
     )
 
 

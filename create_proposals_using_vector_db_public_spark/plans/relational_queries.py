@@ -149,7 +149,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_SHUFFLE_ORACLE = """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o.o_totalprice), 6) AS total_spend
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_spend
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -174,7 +175,11 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                .cast("double"),
+                6,
+            ).alias("total_spend"),
         )
     )
 
@@ -224,7 +229,8 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OUTER_ORACLE = """
 SELECT c.c_custkey,
        CAST(count(o.o_orderkey) AS BIGINT) AS order_cnt,
-       round(coalesce(sum(o.o_totalprice), 0), 6) AS total_spend
+       round(coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))
+                           AS DOUBLE), 0.0), 6) AS total_spend
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
@@ -240,24 +246,44 @@ def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 6).alias(
-                "total_spend"
-            ),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                    .cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("total_spend"),
         )
     )
 
 
 # --- aggregation ------------------------------------------------------------
 
+# Money sums go through exact DECIMAL accumulation: double sums of ~1e9
+# magnitude drift in the last ulp between engines (summation order), and
+# at that magnitude the ulp EXCEEDS the 6dp rounding — an exact-hash gate
+# fails at sf>=0.1. DECIMAL(14,2) casts are lossless for the 2dp columns;
+# the per-row double products (exactly <=6dp values) cast losslessly to
+# DECIMAL(18,6). Averages derive from the same exact sums.
 _AGG_BASIC_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -269,19 +295,33 @@ GROUP BY l_returnflag, l_linestatus
 def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical wide-scan aggregation. Partial aggregation
     (map-side combine) means only |groups| x |partitions| rows shuffle —
-    the plan that survives 100x scale unchanged."""
+    the plan that survives 100x scale unchanged. Money sums accumulate in
+    exact decimals so results are order-independent (see oracle comment)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dqty = F.col("l_quantity").cast("decimal(14,2)")
+    dprice = F.col("l_extendedprice").cast("decimal(14,2)")
+    ddisc = F.col("l_discount").cast("decimal(14,2)")
+    disc_price = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.sum(dqty).cast("double"), 6).alias("sum_qty"),
+        F.round(F.sum(dprice).cast("double"), 6).alias("sum_base_price"),
+        F.round(F.sum(disc_price).cast("double"), 6).alias("sum_disc_price"),
+        F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+        F.round(F.sum(dqty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.round(F.sum(dprice).cast("double") / F.count("*"), 6).alias(
+            "avg_price"
+        ),
+        F.round(F.sum(ddisc).cast("double") / F.count("*"), 6).alias(
+            "avg_disc"
+        ),
         F.count("*").alias("count_order"),
     )
 
@@ -500,7 +540,8 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATE_AGG_ORACLE = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 6) AS month_total
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS month_total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1994-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
@@ -526,7 +567,11 @@ def q_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 6).alias("month_total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                .cast("double"),
+                6,
+            ).alias("month_total"),
         )
     )
 

@@ -134,10 +134,10 @@ WITH w AS (
   SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 200
 )
 SELECT doc_id,
-       array_to_string(
+       coalesce(array_to_string(
          list_filter(words[1:8],
            k -> len(list_filter({list(_STOPWORDS)!r}, sw -> contains(k, sw))) = 0),
-         ' ') AS kept
+         ' '), '') AS kept
 FROM w
 """
 

@@ -4,9 +4,13 @@ Runs every registered query on Spark and its DuckDB oracle side-by-side,
 compares row count, column names/types (loosely), and order-insensitive
 values. Usage:
 
-    python tools/parity.py [sf_dir] [name ...]
+    python tools/parity.py [--exact] [sf_dir] [name ...]
 
 Defaults to /root/testdata/sf0.01 and all registered queries.
+
+``--exact`` compares floats by repr() instead of a 1e-9 tolerance — the
+driver value-HASHES results, so tolerance can mask a real failure (it hid
+q_corr_stats in round 1). Run the exact mode before every round hand-off.
 """
 
 from __future__ import annotations
@@ -44,7 +48,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    exact: bool = False,
+) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
@@ -58,10 +67,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             av, bv = a[c], b[c]
             try:
                 if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-                    ok = (
-                        (av.isna() & bv.isna())
-                        | ((av - bv).abs() < 1e-9)
-                    ).all()
+                    if exact:
+                        # the driver hashes values exactly — repr-level
+                        # equality catches what a tolerance hides (incl.
+                        # -0.0 vs 0.0 and 6th-decimal drift)
+                        ok = all(
+                            repr(x) == repr(y)
+                            for x, y in zip(av.tolist(), bv.tolist())
+                        )
+                    else:
+                        ok = (
+                            (av.isna() & bv.isna())
+                            | ((av - bv).abs() < 1e-9)
+                        ).all()
                 else:
                     ok = (av.isna() & bv.isna() | (av == bv)).all()
             except Exception as e:  # dtype mismatch etc.
@@ -84,8 +102,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(QUERIES)
+    args = sys.argv[1:]
+    exact = "--exact" in args
+    if exact:
+        args.remove("--exact")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or list(QUERIES)
     spark = get_spark("parity", shuffle_partitions=8)
     con = duck_connect(sf_dir)
     failed = []
@@ -108,7 +130,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
             failed.append(name)
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = compare(name, spark_pdf, duck_pdf, exact=exact)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
