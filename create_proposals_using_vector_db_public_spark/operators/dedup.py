@@ -228,8 +228,14 @@ def lsh_candidate_pairs(
         F.when(F.col(f"{c}_a") == F.col(f"{c}_b"), 1).otherwise(0)
         for c in sig_names
     )
+    # merge hint: AQE otherwise broadcasts one side, which re-materializes
+    # the ENTIRE signature pipeline as a broadcast subtree (measured 2.5x
+    # slower at sf0.1) — and broadcasting a banded signature table is
+    # impossible at 100 TB anyway. With both sides as shuffle stages the
+    # signature computation is shared, and SMJ + AQE skew-split handles
+    # pathological buckets by spilling, not OOM.
     return (
-        a.join(b, on=["band_idx", "band_hash"])
+        a.join(b.hint("merge"), on=["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -344,8 +350,9 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
+    # merge hint: see lsh_candidate_pairs — never broadcast the gram table
     return (
-        a.join(b, on="block")
+        a.join(b.hint("merge"), on="block")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -462,8 +469,10 @@ def simhash_dedup_pairs(
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val"
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # merge hint: see lsh_candidate_pairs — lets the signature shuffle be
+    # shared between the two sides instead of re-computed for a broadcast
     return (
-        a.join(b, on=["band_idx", "band_val"])
+        a.join(b.hint("merge"), on=["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
@@ -504,8 +513,9 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "__blk"
     )
     cos = V.cosine_sim(F.col("va"), F.col("vb"))
+    # merge hint: see lsh_candidate_pairs — never broadcast the vector table
     return (
-        a.join(b, on="__blk")
+        a.join(b.hint("merge"), on="__blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
