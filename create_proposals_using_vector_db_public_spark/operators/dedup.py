@@ -268,6 +268,81 @@ def minhash_dedup_pairs(
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed k-gram fingerprints (the MOSS scheme): hash every char
+    k-gram, slide a `window` over the hash sequence, keep each window's
+    minimum — a deterministic ~1/window sample that guarantees any shared
+    substring of length >= k+window-1 yields a shared fingerprint.
+
+    Returns exploded (id, fp) rows, distinct per doc. The per-gram hash is
+    an md5-prefix integer: semantically identical to a Rabin-Karp rolling
+    hash (both assign one integer per k-gram); a native engine would roll,
+    here the hashing is a codegen'd column expression and the windowed min
+    is row-local — no shuffle until the caller aggregates.
+
+    Docs shorter than k contribute nothing; docs with fewer than `window`
+    grams contribute their single overall min.
+    """
+    grams = T.char_ngrams(text_col, k)
+    hashed = F.transform(grams, lambda g: H.h64(g, nchars=MINHASH_BASE_HEX))
+    # materialize the hash array in a projection FIRST, then window over the
+    # column reference — windowing over the raw expression would re-inline
+    # the md5 work per window position (Catalyst project-collapse)
+    base = df.select(F.col(id_col), hashed.alias("__h")).filter(
+        F.size("__h") > 0
+    )
+    mins_over_h = F.when(
+        F.size("__h") >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__h") - (window - 1)),
+            lambda i: F.array_min(F.slice(F.col("__h"), i, window)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("__h"))))
+    return base.select(
+        id_col, F.explode(F.array_distinct(mins_over_h)).alias("fp")
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    max_df: int = 10,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowed fingerprints: docs sharing >=
+    `min_shared` fingerprints after dropping ubiquitous ones (document
+    frequency > `max_df` — the stop-gram guard that keeps the fp self-join
+    skew-free; identical to dropping stop-shingles in MinHash). The join
+    key is the fingerprint itself — high cardinality, well distributed
+    once capped."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    capped = fps.join(rare, on="fp")
+    a = capped.select(F.col(id_col).alias("id_a"), "fp")
+    b = capped.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b.hint("merge"), on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

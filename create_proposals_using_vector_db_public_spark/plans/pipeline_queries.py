@@ -235,6 +235,64 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(pairs, rounds=3)
 
 
+# --- winnowed (rolling-hash) fingerprint dedup -------------------------------
+
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(text) >= {_WINNOW_K} THEN
+             list_transform(range(1, length(text) - {_WINNOW_K - 2}),
+                            i -> substr(text, i, {_WINNOW_K}))
+           ELSE [] END,
+           g -> CAST(concat('0x', substr(md5(g), 1, {D.MINHASH_BASE_HEX}))
+                     AS BIGINT)) AS h
+  FROM corpus
+), fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(h) >= {_WINNOW_W} THEN
+             list_transform(range(1, len(h) - {_WINNOW_W - 2}),
+                            i -> list_min(h[i:i+{_WINNOW_W - 1}]))
+           ELSE [list_min(h)] END)) AS fp
+  FROM hashed
+  WHERE len(h) > 0
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10
+), capped AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+"""
+
+
+@query("q_winnow_dups", oracle=_WINNOW_ORACLE)
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed k-gram (rolling-hash) fingerprint near-dups — the MOSS
+    scheme: any shared substring of length >= k+w-1 guarantees a shared
+    fingerprint, so this catches COPIED PASSAGES, not just whole-document
+    similarity (the north-star 'document fingerprinting (rolling hash)'
+    family). Ubiquitous fingerprints are dropped by document-frequency cap
+    before the pair join — the skew guard (operators.dedup.winnow_dup_pairs)."""
+    return D.winnow_dup_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        max_df=10,
+        min_shared=3,
+    )
+
+
 # --- correlated scalar subquery ----------------------------------------------
 
 # {tbl} parameterizes the identifier only; the algebra text is shared.

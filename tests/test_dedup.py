@@ -129,3 +129,24 @@ def test_dup_clusters_label_propagation(spark):
         for r in D.dup_clusters(pairs, rounds=3).collect()
     }
     assert got == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
+
+
+def test_winnow_finds_copied_passage(spark):
+    """Winnowing guarantee: a shared substring of length >= k+w-1 (here 8)
+    yields a shared fingerprint — docs that share a PASSAGE pair up even
+    when the rest of the text differs completely."""
+    passage = "the quick brown fox jumps over the lazy dog near the river"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words before " + passage + " and some closing text"),
+            (2, passage + " entirely different continuation follows here"),
+            (3, "nothing in common with anything else whatsoever indeed"),
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in D.winnow_dup_pairs(df, max_df=2, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
