@@ -147,6 +147,7 @@ def lsh_search(
     n_planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Hyperplane-LSH ANN: bucket every vector by the sign pattern of
     ``n_planes`` deterministic projections (operators.dedup.
@@ -155,9 +156,13 @@ def lsh_search(
 
     The other scale path next to :func:`ivf_search`: no codebook to train,
     2^n_planes buckets, and with the corpus partitioned by block the scan
-    prunes to ~1/2^n_planes of the data. Candidates from the bucket go
-    through :func:`knn`, so ranking semantics (L2 order, cosine reported,
-    1-based rank) are identical to the exact path.
+    prunes to ~n_probe/2^n_planes of the data. Candidates from the bucket
+    go through :func:`knn`, so ranking semantics (L2 order, cosine
+    reported, 1-based rank) are identical to the exact path.
+
+    ``n_probe`` > 1 is multi-probe LSH: also search the buckets whose sign
+    pattern differs from the query's in exactly one plane (a near-boundary
+    neighbor most likely lands there). Up to ``1 + n_planes`` buckets.
     """
     from . import dedup as D
 
@@ -166,7 +171,25 @@ def lsh_search(
         "__blk", D.random_hyperplane_block(V.as_double_array(vec_col), n_planes)
     )
     qblk = D.random_hyperplane_block(q, n_planes)
-    cell = blocked.filter(F.col("__blk") == qblk).drop("__blk")
+    if n_probe <= 1:
+        cond = F.col("__blk") == qblk
+    else:
+        # flip one sign at a time: substring surgery on the block string,
+        # deterministic probe order = plane order
+        probes = [qblk]
+        for p in range(min(n_probe - 1, n_planes)):
+            bit = F.substring(qblk, p + 1, 1)
+            flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+            probes.append(
+                F.concat(
+                    F.substring(qblk, 1, p),
+                    flipped,
+                    F.substring(qblk, p + 2, n_planes - p - 1),
+                )
+            )
+        # isin() needs literals; the probe blocks are Column expressions
+        cond = F.array_contains(F.array(*probes), F.col("__blk"))
+    cell = blocked.filter(cond).drop("__blk")
     return knn(cell, q, k, vec_col=vec_col, id_col=id_col)
 
 

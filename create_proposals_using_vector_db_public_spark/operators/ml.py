@@ -129,18 +129,31 @@ def keyword_udf(top_n: int = 8):
                 _MODEL_SINGLETON["kw"] = KeyBERT()
             kw_model = _MODEL_SINGLETON["kw"]
 
-            def one(t: str | None) -> list[str]:
-                if not t:
-                    return []
+            vals = ["" if t is None else str(t) for t in texts]
+            nonempty = [i for i, t in enumerate(vals) if t]
+            out: list[list[str]] = [[] for _ in vals]
+            if nonempty:
                 try:
-                    pairs = kw_model.extract_keywords(
-                        t, keyphrase_ngram_range=(1, 2), top_n=top_n
+                    # KeyBERT accepts a document LIST — one embedding batch
+                    # per Arrow batch instead of a model call per row (the
+                    # same batching discipline as embedder_udf)
+                    batch = kw_model.extract_keywords(
+                        [vals[i] for i in nonempty],
+                        keyphrase_ngram_range=(1, 2),
+                        top_n=top_n,
                     )
-                    return [k for k, _ in pairs]
+                    # list-input returns list-of-lists; a single-doc list
+                    # returns a flat pair list in some versions — normalize
+                    if batch and isinstance(batch[0], tuple):
+                        batch = [batch]
+                    for row, i in enumerate(nonempty):
+                        out[i] = [k for k, _ in batch[row]]
                 except Exception:
-                    return (t or "").split()[:top_n]
-
-            return texts.map(one)
+                    # the reference's own fallback, per row
+                    # (app_callapi.py:149-152)
+                    for i in nonempty:
+                        out[i] = vals[i].split()[:top_n]
+            return pd.Series(out)
         except Exception:
             return texts.map(lambda t: (t or "").split()[:top_n])
 
