@@ -21,3 +21,40 @@ from . import (  # noqa: F401,E402
     ingest_queries,
     pipeline_queries,   # round-2 additions: PII/repetition/boilerplate/clusters/ivf-kmeans
 )
+
+# Rebuild the registries in an explicit priority order: queries that still
+# need a fresh driver-green CORRECTNESS row (never checked in round 1, fixed
+# this round, or brand new) come first, so a bounded prefix run always
+# covers them. Previously driver-confirmed queries fill the tail.
+_PRIORITY = [
+    # flagship vector family — never reached by the round-1 window
+    "q_knn", "q_knn_cosine", "q_rank_l2", "q_vec_math", "q_knn_join", "q_ann_ivf",
+    # fixed this round (hash-exact corr; approx-distinct now oracled)
+    "q_corr_stats", "q_approx_distinct",
+    # round-2 additions — no prior driver row
+    "q_pii_scrub", "q_repetition_ratio", "q_boilerplate_lines", "q_dup_clusters",
+    "q_winnow_dups", "q_scalar_subquery", "q_ann_lsh", "q_lag_lead",
+    "q_stream_stateful", "q_ann_ivf_kmeans",
+    # text family — never reached
+    "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
+    "q_array_ops", "q_prompt_template", "q_split_sections", "q_comma_parse",
+    "q_quality_score", "q_token_count", "q_lang_id",
+    # temporal / streaming / udf / histogram — never reached
+    "q_asof_join", "q_range_join", "q_stream_tumbling", "q_stream_dedup",
+    "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
+    "q_multimodal_features", "q_multimodal_frames", "q_histogram",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    if missing:  # fail loudly: a renamed query must update the priority list
+        raise RuntimeError(f"priority queries not registered: {missing}")
+    ordered = _PRIORITY + [n for n in QUERIES if n not in set(_PRIORITY)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_reorder()

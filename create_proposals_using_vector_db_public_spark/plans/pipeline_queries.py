@@ -3,10 +3,9 @@ repetition ratio, boilerplate detection, near-dup clustering, and a
 k-means-trained IVF codebook.
 
 These extend the north-star cleaning/dedup families (BASELINE.json:6)
-beyond round 1's inventory. Registered LAST on purpose: the driver's
-bounded correctness window covers the registry prefix (plans/__init__.py),
-and these five are the newest, least-proven entries — the judge's local
-parity run still covers them.
+beyond round 1's inventory. plans/__init__.py promotes them into the
+registry's priority prefix so the driver's bounded correctness window
+covers them on their first round.
 
 Like the dedup family, queries that need phenomena the synthetic word-soup
 corpus lacks (PII strings, boilerplate lines) plant deterministic rows so
