@@ -114,8 +114,12 @@ def ivf_assign(
 
     Centroids are broadcast (there are hundreds-to-thousands of them even at
     100 TB); assignment is a broadcast cross join + per-vector argmin via a
-    window — a single wide scan, shuffle only on the corpus id for the
-    argmin, which AQE coalesces.
+    ``min_by`` aggregation. The aggregate gets map-side partial combine, so
+    the corpus×centroids blowup collapses back to one row per vector BEFORE
+    the shuffle — only n rows (not n×k) ever cross the wire, and there is
+    no per-group sort (a window argmin would shuffle and sort all n×k).
+    Ties broken by ``centroid_id`` via lexicographic struct comparison, so
+    assignment is deterministic (SURVEY §7 trap 5).
     """
     cents = F.broadcast(
         centroids_df.select(
@@ -124,19 +128,23 @@ def ivf_assign(
         )
     )
     emb = V.as_double_array(vec_col)
+    rest = [c for c in corpus_df.columns if c != id_col]
     scored = (
         corpus_df.withColumn("__v", emb)
         .crossJoin(cents)
         .withColumn("__cdist", F.round(V.l2_dist(F.col("__v"), F.col("__cent")), 6))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cdist").asc(), F.col(centroid_id_col).asc()
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("__cdist"), F.col(centroid_id_col), *rest),
+            F.struct(F.col("__cdist"), F.col(centroid_id_col)),
+        ).alias("__best")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cent", "__v")
-        .withColumnRenamed("__cdist", "centroid_dist")
+    return best.select(
+        id_col,
+        *[F.col(f"__best.{c}") for c in rest],
+        F.col(f"__best.{centroid_id_col}").alias(centroid_id_col),
+        F.col("__best.__cdist").alias("centroid_dist"),
     )
 
 
@@ -191,6 +199,71 @@ def lsh_search(
         cond = F.array_contains(F.array(*probes), F.col("__blk"))
     cell = blocked.filter(cond).drop("__blk")
     return knn(cell, q, k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_search_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    centroids_df: DataFrame,
+    k: int,
+    n_probe: int = 1,
+    query_vec_col: str = "query_vec",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_vec_col: str = "centroid_vec",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Batch IVF ANN: top-k per query for a (small) query set, each query
+    probing only its ``n_probe`` nearest cells.
+
+    The multi-query generalization of :func:`ivf_search`, mirroring
+    :func:`knn_join`'s broadcast shape: the corpus is assigned to cells
+    once (query-independent), the (query × centroid) probe table is tiny
+    and broadcast, and each query scans only its probed cells. At 100 TB
+    with the corpus partitioned by ``centroid_id`` this is the ANN serving
+    plan: per-query work is ``n_probe / n_centroids`` of the data, and the
+    only shuffle is the per-query top-k on ``query_id``.
+    """
+    q = queries_df.select(
+        F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qv")
+    )
+    cents = centroids_df.select(
+        F.col(centroid_id_col),
+        V.as_double_array(centroid_vec_col).alias("__cent"),
+    )
+    # probe set: n_probe nearest centroids per query (both sides tiny)
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__qd", V.l2_dist(F.col("__qv"), F.col("__cent"))
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qd").asc(), F.col(centroid_id_col).asc()
+    )
+    probes = (
+        qc.withColumn("__pn", F.row_number().over(wp))
+        .filter(F.col("__pn") <= n_probe)
+        .select(query_id_col, centroid_id_col, "__qv")
+    )
+    assigned = ivf_assign(
+        corpus_df.select(id_col, vec_col),
+        centroids_df,
+        vec_col,
+        id_col,
+        centroid_vec_col,
+        centroid_id_col,
+    )
+    cell = assigned.join(F.broadcast(probes), on=centroid_id_col, how="inner")
+    scored = cell.withColumn(
+        "dist", F.round(V.l2_dist(V.as_double_array(vec_col), F.col("__qv")), 6)
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
 
 
 def kmeans_update(

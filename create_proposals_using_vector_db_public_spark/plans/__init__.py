@@ -35,6 +35,9 @@ _PRIORITY = [
     "q_pii_scrub", "q_repetition_ratio", "q_boilerplate_lines", "q_dup_clusters",
     "q_winnow_dups", "q_scalar_subquery", "q_ann_lsh", "q_lag_lead",
     "q_stream_stateful", "q_ann_ivf_kmeans",
+    # round-2 continuation additions — no prior driver row
+    "q_ann_recall", "q_stream_sliding", "q_stream_session", "q_stream_join",
+    "q_unpivot",
     # text family — never reached
     "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
     "q_array_ops", "q_prompt_template", "q_split_sections", "q_comma_parse",

@@ -699,3 +699,56 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# Decimal-exact measure sums (the q_agg_basic discipline), then melted to
+# long form. The oracle spells unpivot as UNION ALL — identical algebra,
+# portable across engines.
+_UNPIVOT_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 6)
+           AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+           AS sum_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE), 6)
+           AS sum_disc
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount FROM base
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS amount FROM base
+UNION ALL
+SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS amount FROM base
+"""
+
+
+@query("q_unpivot", oracle=_UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt via DataFrame.unpivot — the inverse of q_pivot.
+    Melting AFTER aggregation keeps the unpivot input at |groups| rows (a
+    constant), so the row multiplication by |measures| is free at any
+    scale; melting raw lineitem first would triple the shuffled bytes for
+    the same answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("sum_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("sum_disc"),
+    )
+    return base.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )

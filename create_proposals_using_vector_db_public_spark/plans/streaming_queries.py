@@ -75,6 +75,140 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return available_now_to_memory(agg, output_mode="complete")
 
 
+_STREAM_SLIDING_ORACLE = """
+WITH buckets AS (
+  SELECT event_type, value,
+         unnest([ (epoch_us(ts) // 21600000000) * 21600 - 21600,
+                  (epoch_us(ts) // 21600000000) * 21600 ]) AS window_start_s
+  FROM events
+)
+SELECT window_start_s, event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_value
+FROM buckets
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_sliding", oracle=_STREAM_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 12h windows every 6h (each event lands in exactly two
+    windows) computed by a real streaming query. The oracle replays the
+    window assignment arithmetic — window starts are the two 6h-grid
+    points within 12h of the event — and the decimal money-sum discipline
+    keeps the value hash exact at any group size."""
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    agg = ev.groupBy(
+        F.window("ts_t", "12 hours", "6 hours"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("total_value"),
+    )
+    out = available_now_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").cast("long").alias("window_start_s"),
+        "event_type",
+        "cnt",
+        "total_value",
+    )
+
+
+_STREAM_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), gaps AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us ASC
+              ) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("q_stream_session", oracle=_STREAM_SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (30-min gap) streaming aggregation — the
+    native stateful session operator next to the batch q_sessionize and
+    the applyInPandasWithState q_stream_stateful. Spark merges events
+    whose [ts, ts+gap) windows overlap, so a session breaks when the gap
+    is >= 30 min — the oracle's island logic uses >= to match (the batch
+    q_sessionize uses > per its own contract). session end = last event
+    + gap, exactly session_window.end."""
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    agg = ev.groupBy(
+        F.session_window("ts_t", "30 minutes"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = available_now_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("q_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joins a broadcast dimension
+    (customer → nation) micro-batch by micro-batch, then a stateful agg
+    per nation. The standard streaming enrichment shape — the dimension
+    is loaded per batch on the static side, no stream-stream state needed,
+    and at 100 TB/day the only state is |nations| aggregation rows."""
+    from ..sources import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = cust.join(
+        F.broadcast(nation),
+        cust["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", "n_name")
+    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+    agg = joined.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("total_value"),
+    )
+    return available_now_to_memory(agg, output_mode="complete")
+
+
 @query("q_stream_dedup")  # rows-only: kept row depends on arrival order
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on a compound key — R9's duplicate

@@ -213,6 +213,102 @@ LIMIT 10
 """
 
 
+_ANN_RECALL_ORACLE = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, {dd("embedding")} AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), exact_scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist
+  FROM embeddings e, queries q
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+    ) AS rnk FROM exact_scored
+  ) WHERE rnk <= 10
+), cents AS (
+  SELECT vec_id AS centroid_id, {dd("embedding")} AS cv
+  FROM embeddings WHERE vec_id < 8
+), assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         round({d_l2(dd("e.embedding"), "c.cv")}, 6) AS cdist
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdist ASC, centroid_id ASC
+    ) AS rn FROM assign_scored
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, c.centroid_id, q.qv,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {d_l2("c.cv", "q.qv")} ASC, c.centroid_id ASC
+           ) AS pn
+    FROM queries q, cents c
+  ) WHERE pn <= 2
+), ann_scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({d_l2(dd("a.embedding"), "p.qv")}, 6) AS dist
+  FROM assigned a JOIN probes p USING (centroid_id)
+), ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+    ) AS rnk FROM ann_scored
+  ) WHERE rnk <= 10
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall_at_10
+FROM exact e
+LEFT JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+
+@query("q_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path against exact kNN, per query — the
+    quality metric that justifies an approximate index at 100 TB ("how
+    much recall does n_probe=2/8 cells buy?"). Exact side is knn_join
+    (broadcast queries, heap top-k); ANN side is ivf_search_join (assign
+    once, probe 2 cells per query); the comparison is a left join on the
+    exact top-10. Both sides and the oracle share rounding and tie-break
+    discipline, so the recall number itself is hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    exact = K.knn_join(queries, emb, k=10).select("query_id", "vec_id")
+    # rename BOTH ann join keys: exact and ann share lineage (same queries/
+    # corpus scans), so same-name columns would be ambiguous attribute refs
+    ann = K.ivf_search_join(queries, emb, cents, k=10, n_probe=2).select(
+        F.col("query_id").alias("ann_query_id"),
+        F.col("vec_id").alias("ann_vec_id"),
+    )
+    hit = exact.join(
+        ann,
+        (F.col("query_id") == F.col("ann_query_id"))
+        & (F.col("vec_id") == F.col("ann_vec_id")),
+        how="left",
+    ).select("query_id", "vec_id", "ann_vec_id")
+    return hit.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("ann_vec_id").alias("n_hit"),
+        F.round(
+            F.count("ann_vec_id").cast("double") / F.count("*"), 6
+        ).alias("recall_at_10"),
+    )
+
+
 @query("q_ann_ivf", oracle=_ANN_IVF_ORACLE)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize to 8 centroids (deterministically the

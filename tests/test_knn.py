@@ -111,3 +111,39 @@ def test_lsh_multiprobe_superset_of_single_probe(spark):
     # probing the 4 Hamming-1 neighbor buckets can only ADD candidates, and
     # the query's own bucket (containing vec 11 itself) is always searched
     assert 11 in single and single <= multi and len(multi) >= len(single)
+
+
+def test_ivf_search_join_per_query_cells(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 0.0])],
+        "centroid_id: long, centroid_vec: array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (200, [9.0, 0.0])],
+        "query_id: long, query_vec: array<double>",
+    )
+    out = K.ivf_search_join(queries, corpus, cents, k=2, n_probe=1)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()}
+    # each query searched only ITS nearest cell (0-4 vs 5-9)
+    assert got[(100, 1)] == 0 and got[(100, 2)] == 1
+    assert got[(200, 1)] == 9 and got[(200, 2)] == 8
+
+
+def test_ivf_assign_deterministic_tiebreak(spark):
+    # vector equidistant from both centroids -> lowest centroid_id wins
+    corpus = spark.createDataFrame(
+        [(1, [5.0, 0.0], "mid")],
+        "vec_id: long, embedding: array<double>, label: string",
+    )
+    cents = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (3, [10.0, 0.0])],
+        "centroid_id: long, centroid_vec: array<double>",
+    )
+    rows = K.ivf_assign(corpus, cents).collect()
+    assert len(rows) == 1
+    assert rows[0]["centroid_id"] == 3  # tie at dist 5.0 -> min centroid_id
+    assert rows[0]["label"] == "mid"  # carried columns survive the argmin
