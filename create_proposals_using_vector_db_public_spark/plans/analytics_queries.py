@@ -262,6 +262,44 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Raw sketch quantiles are engine-specific (Spark GK/KLL vs DuckDB t-digest),
+# so — like q_approx_distinct — the compared output is (exact quantile,
+# approx-within-5% boolean): each engine runs its OWN sketch and both must
+# land inside the tolerance.
+_APPROX_PCT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS exact_median,
+       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+         <= 0.05 * quantile_cont(value, 0.5) AS approx_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_approx_percentile", oracle=_APPROX_PCT_ORACLE)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile next to the exact percentile — the sketch that
+    replaces the full per-group sort at 100 TB (mergeable, single pass,
+    bounded memory). The exact value anchors the check; the boolean proves
+    this engine's sketch is within tolerance of it."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_median"),
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_median",
+            (
+                F.abs(F.col("__approx") - F.col("exact_median"))
+                <= 0.05 * F.col("exact_median")
+            ).alias("approx_ok"),
+        )
+    )
+
+
 # corr()/covar_samp() accumulate doubles in engine-specific order, so their
 # 6th decimal differs between Spark and DuckDB (round-1 hash-fail). Both
 # sides therefore compute the statistics from EXACT decimal moment sums and

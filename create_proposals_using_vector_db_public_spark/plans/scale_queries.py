@@ -153,3 +153,43 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+_PART_SINK_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
+@query("q_partitioned_sink", oracle=_PART_SINK_ORACLE)
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned read-back: write
+    events partitioned by event_type, read back only two partitions. The
+    table-layout half of the scale story — at 100 TB the reader's filter
+    never touches the other partitions' files at all (.explain shows
+    PartitionFilters, and only matching directories are listed). The
+    oracle computes the same aggregate from the unpartitioned source,
+    proving the round-trip loses nothing."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    path = (
+        "/tmp/spark_graft_sink/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}/events_by_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("total_value"),
+    )

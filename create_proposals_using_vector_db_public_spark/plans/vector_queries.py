@@ -213,6 +213,46 @@ LIMIT 10
 """
 
 
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 42
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, label, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INTEGER)
+         AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine-RANKED top-k — the similarity-search baseline the
+    LLM-pipeline mandate asks for, distinct from q_knn_cosine (which keeps
+    the reference's L2 order and only reports cosine). Same
+    TakeOrderedAndProject shape: per-partition heaps on descending cosine,
+    no global sort, no vector shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = V.vec_lit(_query_vec(spark, sf_dir, 42))
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(V.cosine_sim(V.as_double_array("embedding"), qv), 6).alias(
+            "cosine"
+        ),
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+
 _ANN_RECALL_ORACLE = f"""
 WITH queries AS (
   SELECT vec_id AS query_id, {dd("embedding")} AS qv
@@ -294,8 +334,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("ann_query_id"),
         F.col("vec_id").alias("ann_vec_id"),
     )
+    # ann is <= k x |queries| rows by construction — broadcast it so the
+    # comparison join never shuffles the exact side
     hit = exact.join(
-        ann,
+        F.broadcast(ann),
         (F.col("query_id") == F.col("ann_query_id"))
         & (F.col("vec_id") == F.col("ann_vec_id")),
         how="left",
