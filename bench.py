@@ -36,6 +36,10 @@ HEADLINE = [
     "q_tfidf",            # posting-list scoring
     "q_asof_join",        # temporal as-of composition
     "q_sessionize",       # gap sessionization
+    # round-2 additions (r1 entries above are unchanged for comparability)
+    "q_winnow_dups",      # rolling-hash passage fingerprints
+    "q_ann_ivf_kmeans",   # trained-codebook IVF ANN
+    "q_ann_recall",       # batch ANN + exact kNN + recall join
 ]
 
 

@@ -1,11 +1,16 @@
-"""Rows-only declared queries for the Python-UDF surfaces: the pandas_udf
-embedder (R7/R8), keyword extraction (R15), and multimodal feature
-extraction. Not SQL-expressible (Arrow-batched Python execution), so the
-driver records rows-only checks — value-level coverage of the same
-semantics lives in the oracle-checked q_stub_* queries."""
+"""Declared queries for the Python-UDF surfaces: the pandas_udf embedder
+(R7/R8), keyword extraction (R15), multimodal feature extraction, a
+GROUPED_AGG pandas UDF (UDAF), and a Python UDTF.
+
+The embed/keyword/multimodal paths are not SQL-expressible (model-or-
+fallback execution), so the driver records rows-only checks for them —
+value-level coverage of the same semantics lives in the oracle-checked
+q_stub_* queries. The UDAF and UDTF entries ARE oracle-checked: their
+Python bodies compute integer-exact results a SQL mirror can reproduce."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,3 +84,113 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     blobs = MM.make_blob_table(d)
     return MM.frame_sample(blobs, n_frames=4)
+
+
+# --- grouped-agg pandas UDF (UDAF surface), oracle-checked exactly -----------
+
+# Exactness trick: events.value is a 2dp money-like double, so round(v*100)
+# is an exact int64 — the UDF sums INTEGER cents (order-independent), and
+# the oracle trims by rank and sums the same integers. No float summation
+# anywhere, so the grouped-agg UDF result is hash-exact.
+_TRIMMED_MEAN_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(cents) AS BIGINT) AS trimmed_sum_cents,
+       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6)
+         AS trimmed_mean
+FROM ranked
+WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+  AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+GROUP BY event_type
+"""
+
+
+@query("q_udf_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE)
+def q_udf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per group via a GROUPED_AGG pandas UDF — the UDAF
+    surface: a custom aggregate Spark's built-ins don't have, Arrow-batched,
+    with map-side nothing (grouped-agg UDFs see the whole group; at 100 TB
+    pre-filter or pre-aggregate before handing a group to Python). Sums
+    integer cents so the result is exact — see the oracle comment. Ties at
+    the trim boundary hold equal values, so which duplicate is dropped
+    cannot change the sum."""
+
+    @F.pandas_udf("long")
+    def trimmed_sum_cents(v: pd.Series) -> int:
+        cents = (v * 100).round().astype("int64").sort_values()
+        k = int(len(cents) * 0.1)
+        kept = cents.iloc[k : len(cents) - k] if k > 0 else cents
+        return int(kept.sum())
+
+    # grouped-agg UDFs cannot share an agg() with built-in aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count is a pandas UDF too
+    @F.pandas_udf("long")
+    def group_n(v: pd.Series) -> int:
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        trimmed_sum_cents(F.col("value")).alias("trimmed_sum_cents"),
+        group_n(F.col("value")).alias("__n"),
+    )
+    n_kept = F.col("__n") - 2 * F.floor(F.col("__n") * 0.1).cast("long")
+    return agg.select(
+        "event_type",
+        n_kept.alias("n_kept"),
+        "trimmed_sum_cents",
+        F.round(
+            F.col("trimmed_sum_cents").cast("double") / n_kept / 100.0, 6
+        ).alias("trimmed_mean"),
+    )
+
+
+# --- Python UDTF (table-function surface), oracle-checked --------------------
+
+_UDTF_TOKENS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         CAST(unnest(range(len(string_split(text, ' ')))) AS INTEGER)
+           AS word_idx
+  FROM documents
+  WHERE doc_id < 50
+)
+SELECT doc_id, word_idx, trim(word) AS word,
+       CAST(length(trim(word)) AS INTEGER) AS n_chars
+FROM toks
+WHERE length(trim(word)) > 0
+"""
+
+
+@query("q_udtf_tokens", oracle=_UDTF_TOKENS_ORACLE)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row in, many rows out) through a LATERAL join — the
+    table-function surface. Tokenization itself is q_chunk_split's
+    semantics, so the oracle is unchanged; what this query proves is the
+    UDTF execution path: per-partition Python workers streaming rows out,
+    no collect, parallel over the scan like any other operator."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx: int, word: string, n_chars: int")
+    class TokenEmit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                t = w.strip()
+                if t:
+                    yield i, t, len(t)
+
+    spark.udtf.register("token_emit", TokenEmit)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.word_idx, t.word, t.n_chars "
+        "FROM __udtf_docs d, LATERAL token_emit(d.text) t"
+    )
