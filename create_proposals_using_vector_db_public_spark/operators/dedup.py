@@ -71,6 +71,7 @@ MINHASH_A = (99991, 99989, 99971, 99961, 99929, 99923, 99907, 99901)
 MINHASH_B = (10007, 10009, 10037, 10039, 10061, 10067, 10069, 10079)
 
 
+
 def affine_params(j: int) -> tuple[int, int]:
     """(a, b) for hash function j. The first 8 are the published constants
     the DuckDB oracle mirrors; beyond that (production configs — 128 hashes
@@ -272,31 +273,51 @@ def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 5,
+    k: int = 3,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowed k-gram fingerprints (the MOSS scheme): hash every char
-    k-gram, slide a `window` over the hash sequence, keep each window's
-    minimum — a deterministic ~1/window sample that guarantees any shared
-    substring of length >= k+window-1 yields a shared fingerprint.
+    """Winnowed k-gram fingerprints (the MOSS scheme) over WORD k-grams:
+    hash every word, roll a k-word shingle hash along the token sequence,
+    slide a `window` over the shingle hashes, keep each window's minimum —
+    a deterministic ~1/window sample that guarantees any shared run of
+    >= k+window-1 consecutive words yields a shared fingerprint.
 
-    Returns exploded (id, fp) rows, distinct per doc. The per-gram hash is
-    an md5-prefix integer: semantically identical to a Rabin-Karp rolling
-    hash (both assign one integer per k-gram); a native engine would roll,
-    here the hashing is a codegen'd column expression and the windowed min
-    is row-local — no shuffle until the caller aggregates.
+    Word granularity, not characters: copied PASSAGES are word runs, and
+    char k-grams degenerate on low-diversity text (a corpus with ~2k
+    distinct 5-grams pushes every fingerprint's document frequency above
+    any useful df-cap — measured here: the planted sf0.1 duplicates became
+    invisible). Word-shingle diversity is vocab^k, so document frequencies
+    stay discriminative at any corpus size.
 
-    Docs shorter than k contribute nothing; docs with fewer than `window`
-    grams contribute their single overall min.
+    Returns exploded (id, fp) rows, distinct per doc. Cost: one md5 per
+    word (the MinHash discipline: hash words once, combine arithmetically);
+    the k-word shingle hash is the Horner affine chain
+    ``s = (s*A + w_j) mod P`` — products < 2^48, bit-exact on both engines.
+
+    Docs with fewer than k words contribute nothing; docs with fewer than
+    `window` shingles contribute their single overall min.
     """
-    grams = T.char_ngrams(text_col, k)
-    hashed = F.transform(grams, lambda g: H.h64(g, nchars=MINHASH_BASE_HEX))
-    # materialize the hash array in a projection FIRST, then window over the
-    # column reference — windowing over the raw expression would re-inline
-    # the md5 work per window position (Catalyst project-collapse)
-    base = df.select(F.col(id_col), hashed.alias("__h")).filter(
-        F.size("__h") > 0
+    whash = F.transform(
+        T.tokens(F.col(text_col)),
+        lambda t: H.h64(t, nchars=MINHASH_BASE_HEX),
     )
+    # materialize each intermediate array in its OWN projection, then window
+    # over the column reference — windowing over the raw expression would
+    # re-inline the hash work per window position (Catalyst project-collapse)
+    coded = df.select(F.col(id_col), whash.alias("__w")).filter(
+        F.size("__w") >= k
+    )
+
+    def shingle_hash(i):  # position i (1-based Column) -> Horner chain
+        s = F.element_at(F.col("__w"), i)
+        for j in range(1, k):
+            s = (s * MINHASH_A[0] + F.element_at(F.col("__w"), i + j)) % MINHASH_P
+        return s
+
+    hashed = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - (k - 1)), shingle_hash
+    )
+    base = coded.select(F.col(id_col), hashed.alias("__h"))
     mins_over_h = F.when(
         F.size("__h") >= window,
         F.transform(
@@ -313,7 +334,7 @@ def winnow_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 5,
+    k: int = 3,
     window: int = 4,
     max_df: int = 10,
     min_shared: int = 3,

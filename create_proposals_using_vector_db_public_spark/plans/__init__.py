@@ -38,7 +38,7 @@ _PRIORITY = [
     # round-2 continuation additions — no prior driver row
     "q_ann_recall", "q_stream_sliding", "q_stream_session", "q_stream_join",
     "q_unpivot", "q_cosine_topk", "q_approx_percentile", "q_partitioned_sink",
-    "q_udf_trimmed_mean", "q_udtf_tokens",
+    "q_udf_trimmed_mean", "q_udtf_tokens", "q_grouping_sets",
     # text family — never reached
     "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
     "q_array_ops", "q_prompt_template", "q_split_sections", "q_comma_parse",

@@ -236,21 +236,33 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- winnowed (rolling-hash) fingerprint dedup -------------------------------
 
-_WINNOW_K = 5
+_WINNOW_K = 3
 _WINNOW_W = 4
+
+
+def _winnow_shingle_sql(k: int) -> str:
+    """Horner affine chain over k word hashes — mirrors
+    operators.dedup.winnow_fingerprints.shingle_hash exactly."""
+    s = "wh[i]"
+    for j in range(1, k):
+        s = f"(({s}) * {D.MINHASH_A[0]} + wh[i+{j}]) % {D.MINHASH_P}"
+    return s
+
 
 _WINNOW_ORACLE = f"""
 WITH {_CORPUS_SQL.strip()},
-hashed AS (
+coded AS (
   SELECT doc_id,
-         list_transform(
-           CASE WHEN length(text) >= {_WINNOW_K} THEN
-             list_transform(range(1, length(text) - {_WINNOW_K - 2}),
-                            i -> substr(text, i, {_WINNOW_K}))
-           ELSE [] END,
-           g -> CAST(concat('0x', substr(md5(g), 1, {D.MINHASH_BASE_HEX}))
-                     AS BIGINT)) AS h
+         list_transform({_WORDS_SQL},
+           t -> CAST(concat('0x', substr(md5(t), 1, {D.MINHASH_BASE_HEX}))
+                     AS BIGINT)) AS wh
   FROM corpus
+), hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, len(wh) - {_WINNOW_K - 2}),
+                        i -> {_winnow_shingle_sql(_WINNOW_K)}) AS h
+  FROM coded
+  WHERE len(wh) >= {_WINNOW_K}
 ), fps AS (
   SELECT doc_id,
          unnest(list_distinct(
@@ -275,12 +287,14 @@ HAVING count(*) >= 3
 
 @query("q_winnow_dups", oracle=_WINNOW_ORACLE)
 def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed k-gram (rolling-hash) fingerprint near-dups — the MOSS
-    scheme: any shared substring of length >= k+w-1 guarantees a shared
-    fingerprint, so this catches COPIED PASSAGES, not just whole-document
-    similarity (the north-star 'document fingerprinting (rolling hash)'
-    family). Ubiquitous fingerprints are dropped by document-frequency cap
-    before the pair join — the skew guard (operators.dedup.winnow_dup_pairs)."""
+    """Winnowed k-word-gram (rolling-hash) fingerprint near-dups — the MOSS
+    scheme at word granularity: any shared run of >= k+w-1 consecutive
+    words guarantees a shared fingerprint, so this catches COPIED PASSAGES,
+    not just whole-document similarity (the north-star 'document
+    fingerprinting (rolling hash)' family). Ubiquitous fingerprints are
+    dropped by document-frequency cap before the pair join — the skew
+    guard (operators.dedup.winnow_dup_pairs, which also explains why word
+    grams, not char grams, are the right unit on low-diversity text)."""
     return D.winnow_dup_pairs(
         _corpus(spark, sf_dir),
         id_col="doc_id",

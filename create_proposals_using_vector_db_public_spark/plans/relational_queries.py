@@ -752,3 +752,25 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="amount",
     )
+
+
+# {tbl} parameterizes the identifier only; the algebra text is shared.
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS sum_qty
+FROM {tbl}
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("q_grouping_sets", oracle=_GROUPING_SETS_SQL.format(tbl="lineitem"))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup and cube compile
+    to. Spark expands to one Expand node feeding a single hash aggregate:
+    rows are replicated |sets| times map-side but partially aggregated
+    before the shuffle, so the wire cost is |groups|, not |rows| x |sets|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gsets_lineitem")
+    return spark.sql(_GROUPING_SETS_SQL.format(tbl="__gsets_lineitem"))
