@@ -20,6 +20,7 @@ from . import (  # noqa: F401,E402
     relational_queries,
     ingest_queries,
     pipeline_queries,   # round-2 additions: PII/repetition/boilerplate/clusters/ivf-kmeans
+    layout_queries,     # round-2 batch 2: chunking/heavy-hitters/centroid/rarity/salted-join/z-order
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
@@ -43,10 +44,16 @@ _PRIORITY = [
     "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
     "q_array_ops", "q_prompt_template", "q_split_sections", "q_comma_parse",
     "q_quality_score", "q_token_count", "q_lang_id",
-    # temporal / streaming / udf / histogram — never reached
-    "q_asof_join", "q_range_join", "q_stream_tumbling", "q_stream_dedup",
-    "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
-    "q_multimodal_features", "q_multimodal_frames", "q_histogram",
+    # temporal / streaming / histogram — never reached
+    "q_asof_join", "q_range_join", "q_stream_tumbling", "q_histogram",
+    # round-2 batch 2 (layout_queries) — no prior driver row, all oracled
+    "q_chunk_fixed", "q_heavy_hitters", "q_centroid_label",
+    "q_rare_terms", "q_salted_join", "q_zorder_layout",
+    # rows-only by design (no oracle → weaker driver check): placed after
+    # every oracle-bearing query so a bounded window spends its slots on
+    # hash-checkable evidence first
+    "q_stream_dedup", "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
+    "q_multimodal_features", "q_multimodal_frames",
 ]
 
 
