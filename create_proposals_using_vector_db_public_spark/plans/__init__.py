@@ -21,6 +21,7 @@ from . import (  # noqa: F401,E402
     ingest_queries,
     pipeline_queries,   # round-2 additions: PII/repetition/boilerplate/clusters/ivf-kmeans
     layout_queries,     # round-2 batch 2: chunking/heavy-hitters/centroid/rarity/salted-join/z-order
+    format_queries,     # CSV/JSONL/ORC sink+source round-trip
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
@@ -48,7 +49,7 @@ _PRIORITY = [
     "q_asof_join", "q_range_join", "q_stream_tumbling", "q_histogram",
     # round-2 batch 2 (layout_queries) — no prior driver row, all oracled
     "q_chunk_fixed", "q_heavy_hitters", "q_centroid_label",
-    "q_rare_terms", "q_salted_join", "q_zorder_layout",
+    "q_rare_terms", "q_salted_join", "q_zorder_layout", "q_format_roundtrip",
     # rows-only by design (no oracle → weaker driver check): placed after
     # every oracle-bearing query so a bounded window spends its slots on
     # hash-checkable evidence first
