@@ -40,6 +40,8 @@ HEADLINE = [
     "q_winnow_dups",      # rolling-hash passage fingerprints
     "q_ann_ivf_kmeans",   # trained-codebook IVF ANN
     "q_ann_recall",       # batch ANN + exact kNN + recall join
+    "q_chunk_fixed",      # token-window chunking (zero-shuffle scan op)
+    "q_zorder_layout",    # Morton-key clustering boxes
 ]
 
 

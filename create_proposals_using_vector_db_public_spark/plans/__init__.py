@@ -44,12 +44,17 @@ _PRIORITY = [
     # text family — never reached
     "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
     "q_array_ops", "q_prompt_template", "q_split_sections", "q_comma_parse",
-    "q_quality_score", "q_token_count", "q_lang_id",
+    "q_quality_score", "q_lang_id",
     # temporal / streaming / histogram — never reached
     "q_asof_join", "q_range_join", "q_stream_tumbling", "q_histogram",
     # round-2 batch 2 (layout_queries) — no prior driver row, all oracled
     "q_chunk_fixed", "q_heavy_hitters", "q_centroid_label",
     "q_rare_terms", "q_salted_join", "q_zorder_layout", "q_format_roundtrip",
+    # round-2 batch 3 — no prior driver row
+    "q_incremental_agg",
+    # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called
+    # it the foldable low-value entry) — first to sit outside a 50-window
+    "q_token_count",
     # rows-only by design (no oracle → weaker driver check): placed after
     # every oracle-bearing query so a bounded window spends its slots on
     # hash-checkable evidence first

@@ -193,3 +193,49 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
         ).alias("total_value"),
     )
+
+
+# --- incremental re-aggregation ---------------------------------------------
+
+_INCR_AGG_ORACLE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS month_total
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("q_incremental_agg", oracle=_INCR_AGG_ORACLE)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an additive aggregate: the
+    pattern that never recomputes 100 TB. "Yesterday's" materialized
+    state (orders before 2000-01-01, pre-aggregated to per-month
+    partials) is merged with "today's" delta (orders on/after the
+    cutoff, aggregated alone) by RE-AGGREGATING THE PARTIALS — count and
+    decimal-sum are associative, so state ⊎ delta equals the full
+    recomputation, which is exactly what the oracle computes from
+    scratch. At scale the state side is |months| rows regardless of
+    history size; each increment touches only the delta partition.
+    (Non-additive aggregates need sketch state instead: see
+    q_approx_distinct / q_approx_percentile.)"""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format(
+        F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+    ).alias("order_month")
+    dprice = F.col("o_totalprice").cast("decimal(14,2)")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count("*").alias("cnt"),
+            F.sum(dprice).alias("total"),
+        )
+
+    state = partials(o.filter(F.col("o_orderdate") < "2000-01-01"))
+    delta = partials(o.filter(F.col("o_orderdate") >= "2000-01-01"))
+    merged = state.unionByName(delta)
+    return merged.groupBy("order_month").agg(
+        F.sum("cnt").alias("order_cnt"),
+        F.round(F.sum("total").cast("double"), 6).alias("month_total"),
+    )

@@ -81,3 +81,46 @@ def test_minhash_exploded_equals_rowlocal(spark, texts):
         ).collect()
     }
     assert exploded == rowlocal
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**15), max_value=10**15),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_integer_half_away_rounding_matches_python(spark, cases):
+    """q_centroid_label derives round-half-away-from-zero(s/n) purely from
+    truncating integer division on non-negative operands (where truncating
+    and floor division agree, so Spark `div` == DuckDB `//`). Pin the CASE
+    formula to Python's exact Fraction-based rounding for any (s, n)."""
+    from fractions import Fraction
+
+    def py_half_away(s: int, n: int) -> int:
+        q = Fraction(s, n)
+        sign = -1 if q < 0 else 1
+        aq = abs(q)
+        fl = aq.numerator // aq.denominator
+        rem = aq - fl
+        return sign * (fl + (1 if rem >= Fraction(1, 2) else 0))
+
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(cases)], "i: int, s: long, n: long"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
+                " ELSE -((2*(-s) + n) div (2*n)) END"
+            ).alias("c"),
+        ).collect()
+    }
+    for i, (s, n) in enumerate(cases):
+        assert got[i] == py_half_away(s, n), (s, n)
