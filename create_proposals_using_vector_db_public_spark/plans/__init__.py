@@ -22,6 +22,7 @@ from . import (  # noqa: F401,E402
     pipeline_queries,   # round-2 additions: PII/repetition/boilerplate/clusters/ivf-kmeans
     layout_queries,     # round-2 batch 2: chunking/heavy-hitters/centroid/rarity/salted-join/z-order
     format_queries,     # CSV/JSONL/ORC sink+source round-trip
+    assembly_queries,   # round-2 batch 3: decontamination, sequence packing
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
@@ -51,7 +52,7 @@ _PRIORITY = [
     "q_chunk_fixed", "q_heavy_hitters", "q_centroid_label",
     "q_rare_terms", "q_salted_join", "q_zorder_layout", "q_format_roundtrip",
     # round-2 batch 3 — no prior driver row
-    "q_incremental_agg",
+    "q_incremental_agg", "q_decontaminate", "q_pack_sequences", "q_bloom_join",
     # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called
     # it the foldable low-value entry) — first to sit outside a 50-window
     "q_token_count",

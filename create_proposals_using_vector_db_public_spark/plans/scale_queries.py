@@ -239,3 +239,143 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("order_cnt"),
         F.round(F.sum("total").cast("double"), 6).alias("month_total"),
     )
+
+
+# --- Bloom-filter runtime join filter ----------------------------------------
+
+_BLOOM_WORDS = 64   # bitmap = 64 BIGINT words
+_BLOOM_BPW = 63     # low 63 bits per word — the sign bit stays clear so
+                    # shifts/ORs behave identically in Spark and DuckDB
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BPW
+_BLOOM_K = 3        # hash functions
+_BLOOM_HEX = 12     # 48-bit position hashes
+
+
+def _bloom_pos_sql(key_sql: str, j: int) -> str:
+    return f"({d_h64(f'CAST({key_sql} AS VARCHAR)', seed=f'bf{j}', nchars=_BLOOM_HEX)} % {_BLOOM_M})"
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), pos AS (
+  SELECT unnest([{", ".join(_bloom_pos_sql("c_custkey", j) for j in range(_BLOOM_K))}]) AS pos
+  FROM keys
+), bm AS (
+  SELECT word, bit_or(bits) AS bits FROM (
+    SELECT pos // {_BLOOM_BPW} AS word,
+           CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_BPW} AS INT) AS bits
+    FROM pos
+    UNION ALL
+    SELECT r AS word, CAST(0 AS BIGINT) AS bits FROM range({_BLOOM_WORDS}) t(r)
+  ) GROUP BY word
+), bloom AS (
+  SELECT list(bits ORDER BY word) AS arr FROM bm
+), flags AS (
+  SELECT
+    ({" AND ".join(
+        f"((arr[CAST(p{j} // {_BLOOM_BPW} AS INT) + 1]"
+        f" >> CAST(p{j} % {_BLOOM_BPW} AS INT)) & 1) = 1"
+        for j in range(_BLOOM_K))}) AS candidate,
+    o_custkey IN (SELECT c_custkey FROM keys) AS hit
+  FROM (
+    SELECT o_custkey,
+           {", ".join(_bloom_pos_sql("o_custkey", j) + f" AS p{j}" for j in range(_BLOOM_K))}
+    FROM orders
+  ), bloom
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_matches,
+       CAST(sum(CASE WHEN candidate AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives
+FROM flags
+"""
+
+
+@query("q_bloom_join", oracle=_BLOOM_ORACLE)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join filter, built explicitly: hash the dim
+    side's join keys (customers in one segment) into a 64-word/63-bit
+    bitmap, broadcast the ~512-byte bitmap, and pre-filter the fact scan
+    (orders) before any join or shuffle. The output audits the filter:
+    candidate count vs true semi-join matches vs false positives — and
+    because a Bloom filter has no false NEGATIVES, n_candidates >=
+    n_true_matches always holds (both engines compute all three).
+
+    This is the pattern behind Spark's own runtime row-level filtering /
+    dynamic partition pruning, spelled out for when the dim side is too
+    big to broadcast as a hash table but its FINGERPRINT isn't: at 100 TB
+    the bitmap (scaled up: a few MB for 10^8 keys at 10 bits/key) drops
+    ~all non-matching fact rows at the scan, before the shuffle the real
+    join would need. Positions derive from the portable md5 hash, low 63
+    bits per word, so Spark and DuckDB build bit-identical bitmaps."""
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+    def positions(key_col: str) -> list:
+        k = F.col(key_col).cast("string")
+        return [
+            h64(k, seed=f"bf{j}", nchars=_BLOOM_HEX) % _BLOOM_M
+            for j in range(_BLOOM_K)
+        ]
+
+    pos = keys.select(
+        F.explode(F.array(*positions("c_custkey"))).alias("pos")
+    )
+    spark_range = spark.range(_BLOOM_WORDS).select(
+        F.col("id").alias("word"), F.lit(0).cast("long").alias("bits")
+    )
+    bm = (
+        pos.select(
+            F.expr(f"pos div {_BLOOM_BPW}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_BPW} AS INT))"
+            ).alias("bits"),
+        )
+        .unionByName(spark_range)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    bloom = bm.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(word, bits))),"
+            " s -> s.bits)"
+        ).alias("arr")
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    for j, p in enumerate(positions("o_custkey")):
+        o = o.withColumn(f"p{j}", p)
+    flagged = (
+        o.crossJoin(F.broadcast(bloom))
+        .withColumn(
+            "candidate",
+            F.expr(
+                " AND ".join(
+                    f"((element_at(arr, CAST(p{j} div {_BLOOM_BPW} AS INT) + 1)"
+                    f" >> CAST(p{j} % {_BLOOM_BPW} AS INT)) & 1) = 1"
+                    for j in range(_BLOOM_K)
+                )
+            ),
+        )
+        .join(
+            F.broadcast(keys.withColumn("hit", F.lit(True))),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .withColumn("hit", F.coalesce("hit", F.lit(False)))
+    )
+    return flagged.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("candidate").cast("long")).alias("n_candidates"),
+        F.sum(F.col("hit").cast("long")).alias("n_true_matches"),
+        F.sum((F.col("candidate") & ~F.col("hit")).cast("long")).alias(
+            "n_false_positives"
+        ),
+    )
