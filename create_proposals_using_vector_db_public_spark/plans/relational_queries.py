@@ -774,3 +774,44 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("__gsets_lineitem")
     return spark.sql(_GROUPING_SETS_SQL.format(tbl="__gsets_lineitem"))
+
+
+# --- full outer join ---------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+SELECT coalesce(a.o_custkey, b.c_custkey) AS custkey,
+       a.order_cnt,
+       b.acctbal
+FROM (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_cnt
+  FROM orders GROUP BY o_custkey
+) a
+FULL JOIN (
+  SELECT c_custkey, round(c_acctbal, 6) AS acctbal
+  FROM customer WHERE c_acctbal > 5000
+) b ON a.o_custkey = b.c_custkey
+"""
+
+
+@query("q_full_outer", oracle=_FULL_OUTER_ORACLE)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with all three row classes present: customers with
+    orders and a high balance (matched), with orders only (right-null),
+    and with a high balance but no orders (left-null — TPC-H leaves a
+    third of customers orderless). Completes the join-type inventory
+    (inner/broadcast, shuffle, semi, anti, left outer, full outer,
+    as-of, range). Full outer cannot broadcast either side — both sides
+    must shuffle on the key — so at scale the win is aggregating BEFORE
+    the join (as here: the orders side arrives pre-collapsed to one row
+    per customer) rather than outer-joining raw fact rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.groupBy("o_custkey").agg(F.count("*").alias("order_cnt"))
+    b = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.round("c_acctbal", 6).alias("acctbal")
+    )
+    return a.join(b, a.o_custkey == b.c_custkey, "full").select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "order_cnt",
+        "acctbal",
+    )

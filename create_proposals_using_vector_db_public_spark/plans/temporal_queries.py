@@ -4,7 +4,7 @@ events stream (both sides derived from events — users 0-149, January 2024).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
@@ -95,3 +95,76 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias="n_errors",
     )
     return out
+
+
+# --- gap fill + forward fill -------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, value
+  FROM events WHERE user_id % 97 = 0
+), daily AS (
+  SELECT event_type, d, round(sum(value), 4) AS v FROM e GROUP BY 1, 2
+), bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM e
+), grid AS (
+  SELECT t.event_type, CAST(g.gd AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS gd
+        FROM bounds) g
+), j AS (
+  SELECT g.event_type, g.d, daily.v
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.d = g.d
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       v AS observed,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       v IS NULL AS is_gap
+FROM j
+"""
+
+
+@query("q_gap_fill", oracle=_GAP_FILL_ORACLE)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: densify a sparse per-key daily series
+    onto a complete date grid, then forward-fill observation gaps — the
+    resample/ffill pass that precedes any windowed model feature. The
+    grid comes from one sequence() over the global [min, max] date span
+    crossed with the distinct key set (both tiny, both broadcast); the
+    fill is last(ignorenulls) over an ordered per-key window. Leading
+    gaps (before a key's first observation) stay null in both engines.
+
+    Scale shape: the expensive side is the raw-event aggregation (one
+    shuffle keyed (type, day)); the grid join is broadcast — a date grid
+    is |keys| x |days| rows no matter how many trillions of raw events
+    feed it, so densification costs nothing extra at 100 TB. The
+    forward-fill window partitions by key — parallel, no global sort."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 97 == 0)
+        .select("event_type", F.to_date("ts").alias("d"), "value")
+    )
+    daily = e.groupBy("event_type", "d").agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    bounds = e.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    grid = days.crossJoin(e.select("event_type").distinct())
+    j = grid.join(F.broadcast(daily), ["event_type", "d"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("v").alias("observed"),
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
