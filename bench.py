@@ -42,6 +42,10 @@ HEADLINE = [
     "q_ann_recall",       # batch ANN + exact kNN + recall join
     "q_chunk_fixed",      # token-window chunking (zero-shuffle scan op)
     "q_zorder_layout",    # Morton-key clustering boxes
+    "q_decontaminate",    # broadcast n-gram eval-overlap scan
+    "q_bloom_join",       # bitmap runtime join filter
+    "q_e2e_corpus",       # scrub→dedup→chunk→embed composition
+    "q_ann_pq",           # product-quantization ADC search
 ]
 
 

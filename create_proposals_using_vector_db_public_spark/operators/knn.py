@@ -386,3 +386,154 @@ def ivf_search(
     )
     cell = assigned.join(F.broadcast(probe), on=centroid_id_col, how="inner")
     return knn(cell, q, k, vec_col=vec_col, id_col=id_col)
+
+
+# --- product quantization ----------------------------------------------------
+
+def pq_subvectors(
+    df: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Slice each vector into ``n_sub`` contiguous ``sub_dim``-wide
+    subvectors → (id, s, sv) rows. Pure scan-side explode (no shuffle);
+    the subspace index ``s`` becomes the join/grouping key for all later
+    PQ stages, so every per-subspace step parallelizes across s."""
+    v = V.as_double_array(vec_col)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(F.col("__v"), s * sub_dim + 1, sub_dim).alias("sv"),
+        ),
+    )
+    return (
+        df.withColumn("__v", v)
+        .select(F.col(id_col), F.inline(subs))
+    )
+
+
+def pq_assign(
+    subs_df: DataFrame,
+    codebook_df: DataFrame,
+    id_col: str = "vec_id",
+    keep_sv: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment per (vector, subspace): broadcast the
+    codebook (n_sub × k tiny subvectors — a parameter, not data), join on
+    the subspace key, and argmin via ``min_by`` with the same rounded-L2 +
+    centroid-id tie-break discipline as :func:`ivf_assign` — one partial+
+    final aggregate, only one row per (vector, subspace) crosses the wire."""
+    cents = F.broadcast(
+        codebook_df.select("s", "centroid_id", F.col("cv").alias("__cent"))
+    )
+    scored = subs_df.join(cents, "s").withColumn(
+        "__cdist", F.round(V.l2_dist(F.col("sv"), F.col("__cent")), 6)
+    )
+    carried = [F.col("sv").alias("sv")] if keep_sv else []
+    best = scored.groupBy(id_col, "s").agg(
+        F.min_by(
+            F.struct(F.col("centroid_id"), *carried),
+            F.struct(F.col("__cdist"), F.col("centroid_id")),
+        ).alias("__best")
+    )
+    cols = [F.col(id_col), F.col("s"), F.col("__best.centroid_id").alias("code")]
+    if keep_sv:
+        cols.append(F.col("__best.sv").alias("sv"))
+    return best.select(*cols)
+
+
+def pq_train(
+    corpus_df: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    n_cent: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: deterministic seeds (the first
+    ``n_cent`` vectors' subvectors) + one Lloyd update with decimal-exact
+    component means (same order-independence discipline as
+    :func:`kmeans_update`, here keyed by (s, centroid, pos)). Returns
+    (s, centroid_id, cv). More Lloyd rounds = repeat assign/update."""
+    subs = pq_subvectors(corpus_df, n_sub, sub_dim, vec_col, id_col)
+    seeds = subs.filter(F.col(id_col) < n_cent).select(
+        "s", F.col(id_col).alias("centroid_id"), F.col("sv").alias("cv")
+    )
+    assigned = pq_assign(subs, seeds, id_col, keep_sv=True)
+    parts = assigned.select(
+        "s", F.col("code").alias("centroid_id"),
+        F.posexplode("sv").alias("pos", "val"),
+    )
+    comp = parts.groupBy("s", "centroid_id", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(27,10)")).cast("double")
+            / F.count("*")
+        ).alias("mean")
+    )
+    return (
+        comp.groupBy("s", "centroid_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean"))
+            ).alias("__pairs")
+        )
+        .select(
+            "s", "centroid_id",
+            F.transform(
+                F.col("__pairs"), lambda p: F.round(p["mean"], 6)
+            ).alias("cv"),
+        )
+    )
+
+
+def pq_adc_search(
+    corpus_df: DataFrame,
+    codebook_df: DataFrame,
+    query_vec: Sequence[float],
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: encode the corpus to (vector,
+    subspace) → code, build the query's per-(subspace, centroid) squared-
+    distance lookup table (n_sub × k rows — broadcast), and score each
+    vector as sqrt(Σ_s table[s][code_s]). Distance-table entries are
+    rounded then summed as DECIMAL so the Σ is order-independent; top-k
+    by (adist, id) is a TakeOrderedAndProject heap merge.
+
+    This is the memory story FAISS IVFPQ tells at 100 TB: after encoding,
+    search touches n_sub bytes per vector (codes) + a table the size of
+    the codebook — the full float vectors never participate. Here the
+    encode pass is recomputed from the scan; a real deployment persists
+    the code columns once and scans only those thereafter."""
+    subs = pq_subvectors(corpus_df, n_sub, sub_dim, vec_col, id_col)
+    codes = pq_assign(subs, codebook_df, id_col)
+
+    qv = V.vec_lit(list(query_vec))
+    dt = F.broadcast(
+        codebook_df.select(
+            "s", "centroid_id",
+            F.round(
+                V.l2_dist_sq(
+                    F.col("cv"),
+                    F.slice(qv, F.col("s") * sub_dim + 1, sub_dim),
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("d2"),
+        )
+    )
+    adist = (
+        codes.join(dt, (codes.s == dt.s) & (codes.code == dt.centroid_id))
+        .groupBy(id_col)
+        .agg(F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("adist"))
+    )
+    ranked = adist.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -53,7 +53,7 @@ _PRIORITY = [
     "q_rare_terms", "q_salted_join", "q_zorder_layout", "q_format_roundtrip",
     # round-2 batch 3 — no prior driver row
     "q_incremental_agg", "q_decontaminate", "q_pack_sequences", "q_bloom_join",
-    "q_gap_fill", "q_full_outer",
+    "q_gap_fill", "q_full_outer", "q_e2e_corpus", "q_ann_pq",
     # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called
     # it the foldable low-value entry) — first to sit outside a 50-window
     "q_token_count",

@@ -39,7 +39,7 @@ _DECON_HEX = 12  # 48-bit gram fingerprints: equality-join only, no arithmetic
 _DECON_PREFIX = "decon probe prefix "
 
 _DECON_GRAMS_SQL = f"""
-  SELECT DISTINCT doc_id,
+  SELECT {{distinct}} doc_id,
          {d_h64('gram', seed='decon', nchars=_DECON_HEX)} AS h
   FROM (
     SELECT doc_id,
@@ -59,28 +59,27 @@ WITH bench AS (
   UNION ALL
   SELECT doc_id + 500000 AS doc_id, '{_DECON_PREFIX}' || text AS text
   FROM bench
-), bg AS ({_DECON_GRAMS_SQL.format(src='bench')}
-), tg AS ({_DECON_GRAMS_SQL.format(src='train')}
+), bg AS ({_DECON_GRAMS_SQL.format(src='bench', distinct='DISTINCT')}
+), tg AS ({_DECON_GRAMS_SQL.format(src='train', distinct='')}
 )
 SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
-       CAST(count(*) AS BIGINT) AS n_shared
+       CAST(count(DISTINCT t.h) AS BIGINT) AS n_shared
 FROM tg t JOIN bg b USING (h)
 WHERE t.doc_id <> b.doc_id
 GROUP BY 1, 2
 """
 
 
-def _gram_set(df: DataFrame, n: int) -> DataFrame:
-    """Distinct (doc_id, 48-bit word-n-gram fingerprint) pairs. Texts are
-    dropped before any shuffle — only 8-byte hashes move."""
-    return (
-        df.select(
-            "doc_id", F.explode(T.word_shingles("text", n)).alias("gram")
-        )
-        .select(
-            "doc_id", H.h64("gram", seed="decon", nchars=_DECON_HEX).alias("h")
-        )
-        .distinct()
+def _grams(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, 48-bit word-n-gram fingerprint) rows — NOT deduplicated:
+    within-doc repeats are collapsed later by countDistinct, after the
+    broadcast join has already discarded every non-matching gram, so no
+    full-corpus dedup shuffle ever runs. Texts are dropped before
+    anything moves — only 8-byte hashes."""
+    return df.select(
+        "doc_id", F.explode(T.word_shingles("text", n)).alias("gram")
+    ).select(
+        "doc_id", H.h64("gram", seed="decon", nchars=_DECON_HEX).alias("h")
     )
 
 
@@ -99,21 +98,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of training grams at all, and only the (rare) matching pairs reach
     the final small aggregation. Gram texts never move; 8-byte
     fingerprints do."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = d.filter(F.col("doc_id") % 23 == 0)
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Bench side: filtered BEFORE any repartition (it's the tiny side —
+    # shuffling the whole corpus to extract it would be backwards).
+    bench = raw.filter(F.col("doc_id") % 23 == 0)
     planted = bench.select(
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.concat(F.lit(_DECON_PREFIX), F.col("text")).alias("text"),
     )
-    train = d.unionByName(planted)
+    # Train side: single-file fixture → spread the CPU-bound gram/hash
+    # work across cores (a 100 TB table's many input splits make this a
+    # no-op on a real cluster).
+    train = raw.repartition(
+        spark.sparkContext.defaultParallelism
+    ).unionByName(planted)
 
-    bg = _gram_set(bench, _DECON_N).withColumnRenamed("doc_id", "bench_id")
-    tg = _gram_set(train, _DECON_N).withColumnRenamed("doc_id", "train_id")
+    bg = (
+        _grams(bench, _DECON_N)
+        .distinct()  # tiny: shrinks the broadcast, nothing more
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    tg = _grams(train, _DECON_N).withColumnRenamed("doc_id", "train_id")
     hits = tg.join(F.broadcast(bg), "h").filter(
         F.col("train_id") != F.col("bench_id")
     )
     return hits.groupBy("train_id", "bench_id").agg(
-        F.count("*").alias("n_shared")
+        F.countDistinct("h").alias("n_shared")
     )
 
 
@@ -180,4 +190,137 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"max(cum) div {_PACK_BUDGET}").alias("n_windows"),
         (F.max("cum") % b).alias("tail_tokens"),
         F.sum(straddle).alias("n_straddlers"),
+    )
+
+
+# --- end-to-end corpus pipeline ----------------------------------------------
+
+_E2E_CHUNK = 32
+_E2E_MIN_WORDS = 15
+_E2E_PII_TAIL = " Contact jane.doe@example.com or +1-555-0142 today"
+
+_E2E_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000, text FROM base WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text || '{_E2E_PII_TAIL}' FROM base
+  WHERE doc_id % 40 = 0
+), scrub AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{{email}}', '[EMAIL]', 'g'),
+                        '{{phone}}', '[PHONE]', 'g') AS text
+  FROM corpus
+), toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS toks FROM scrub
+), quality AS (
+  SELECT doc_id, toks FROM toks WHERE len(toks) >= {_E2E_MIN_WORDS}
+), fp AS (
+  SELECT doc_id, toks, md5(array_to_string(toks, ' ')) AS fp FROM quality
+), kept AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+), ch AS (
+  SELECT doc_id, unnest(range(0, len(toks), {_E2E_CHUNK})) AS start, toks
+  FROM kept
+), ct AS (
+  SELECT doc_id, CAST(start // {_E2E_CHUNK} AS INTEGER) AS chunk_id,
+         list_slice(toks, start + 1,
+                    least(start + {_E2E_CHUNK}, len(toks))) AS ct
+  FROM ch
+), b AS (
+  SELECT doc_id, chunk_id,
+         list_transform(ct,
+           t -> instr('0123456789abcdef', substr(md5(t), 1, 1))) AS bs
+  FROM ct
+)
+SELECT doc_id, chunk_id,
+       CAST(len(bs) AS BIGINT) AS n_tokens,
+       CAST(list_sum(bs) AS BIGINT) AS emb_checksum,
+       round(sqrt(CAST(list_sum(list_transform(range(1, 17),
+         d -> CAST(len(list_filter(bs, x -> x = d)) AS BIGINT)
+              * len(list_filter(bs, x -> x = d)))) AS DOUBLE)), 6) AS emb_l2
+FROM b
+"""
+
+
+@query("q_e2e_corpus", oracle=_E2E_ORACLE.format(email=T.EMAIL_RE, phone=T.PHONE_RE))
+def q_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole pipeline as ONE declared plan: ingest → PII
+    scrub → quality filter → exact dedup (keep-first) → fixed-window
+    chunking → per-chunk embedding → index rows (app.py ingest path,
+    R1-R14, composed). Planted rows exercise every stage: exact copies
+    (deduped away), PII-tailed variants (scrubbed, then kept — the tail
+    makes them distinct), and sub-threshold docs (quality-dropped).
+
+    The embedding here is the 16-bucket deterministic stub; the output
+    carries each chunk's token count, an integer checksum (sum of 1-based
+    bucket ids — algebraically Σ_d (d+1)·count_d) and the embedding L2
+    norm, so the oracle verifies the whole composition value-exactly
+    without shipping arrays.
+
+    Scale shape (plan captured in tools/plans/q_e2e_corpus.txt — 3
+    exchanges total): one narrow scan does scrub+tokenize+quality (all
+    codegen'd); the dedup window moves each surviving row ONCE to its
+    fingerprint group — unavoidable for exact dedup (the id-only +
+    anti-join variant moves the same bytes, keyed by id instead);
+    chunking explodes scan-side with no shuffle; the embedding is a
+    two-level partial+final aggregate — 3 ints per token occurrence,
+    never text, and the second exchange is already collapsed to
+    per-chunk partials."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    pii = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(_E2E_PII_TAIL)).alias("text"),
+    )
+    corpus = d.unionByName(copies).unionByName(pii)
+
+    scrub = corpus.select(
+        "doc_id",
+        T.redact(T.redact("text", T.EMAIL_RE, "[EMAIL]"),
+                 T.PHONE_RE, "[PHONE]").alias("text"),
+    )
+    toked = scrub.select("doc_id", T.tokens("text").alias("toks")).filter(
+        F.size("toks") >= _E2E_MIN_WORDS
+    )
+    fp = toked.withColumn("fp", F.md5(F.array_join("toks", " ")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "toks")
+    )
+
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_E2E_CHUNK))
+    ch = kept.select("doc_id", "toks", F.explode(starts).alias("start"))
+    ct = ch.select(
+        "doc_id",
+        (F.col("start") / _E2E_CHUNK).cast("int").alias("chunk_id"),
+        F.slice("toks", F.col("start") + 1, F.lit(_E2E_CHUNK)).alias("ct"),
+    )
+
+    ex = ct.select("doc_id", "chunk_id", F.explode("ct").alias("t"))
+    bucketed = ex.select(
+        "doc_id", "chunk_id",
+        F.instr(F.lit("0123456789abcdef"),
+                F.substring(F.md5("t"), 1, 1)).alias("b"),
+    )
+    per_bucket = bucketed.groupBy("doc_id", "chunk_id", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_bucket.groupBy("doc_id", "chunk_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("b") * F.col("cnt")).alias("emb_checksum"),
+        F.round(
+            F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")), 6
+        ).alias("emb_l2"),
     )

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from ..functions import vectors as V
 from ..operators import knn as K
 from ..sources import load_table
-from .duck import d_cosine, d_dot, d_l2, d_norm, dd
+from .duck import d_cosine, d_dot, d_l2, d_l2sq, d_norm, dd
 from .registry import query
 
 
@@ -368,3 +368,94 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, cents, _query_vec(spark, sf_dir, 11), k=10, n_probe=2
     )
     return out.select("vec_id", "label", "dist", "cosine", "rank")
+
+
+# --- product quantization ANN ------------------------------------------------
+
+_PQ_NSUB = 4
+_PQ_SUBDIM = 16
+_PQ_NCENT = 8
+
+_PQ_SUB_SQL = f"""
+  SELECT vec_id, s, list_slice(v, s * {_PQ_SUBDIM} + 1,
+                               (s + 1) * {_PQ_SUBDIM}) AS sv
+  FROM (SELECT vec_id, {dd("embedding")} AS v FROM embeddings),
+       (SELECT CAST(unnest(range(0, {_PQ_NSUB})) AS INTEGER) AS s)
+"""
+
+_PQ_ORACLE = f"""
+WITH sub AS ({_PQ_SUB_SQL}
+), seeds AS (
+  SELECT s, vec_id AS centroid_id, sv AS cv FROM sub
+  WHERE vec_id < {_PQ_NCENT}
+), a0 AS (
+  SELECT s, vec_id, centroid_id, sv FROM (
+    SELECT t.s, t.vec_id, c.centroid_id, t.sv,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+             ORDER BY round({d_l2("t.sv", "c.cv")}, 6) ASC, c.centroid_id ASC
+           ) AS rn
+    FROM sub t JOIN seeds c USING (s)
+  ) WHERE rn = 1
+), comp AS (
+  SELECT s, centroid_id, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+           AS mean
+  FROM (
+    SELECT s, centroid_id,
+           unnest(range(0, len(sv))) AS pos, unnest(sv) AS val
+    FROM a0
+  ) GROUP BY s, centroid_id, pos
+), cents AS (
+  SELECT s, centroid_id, list(mean ORDER BY pos) AS cv
+  FROM comp GROUP BY s, centroid_id
+), codes AS (
+  SELECT s, vec_id, centroid_id AS code FROM (
+    SELECT t.s, t.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+             ORDER BY round({d_l2("t.sv", "c.cv")}, 6) ASC, c.centroid_id ASC
+           ) AS rn
+    FROM sub t JOIN cents c USING (s)
+  ) WHERE rn = 1
+), q AS (
+  SELECT s, sv AS qsub FROM sub WHERE vec_id = 11
+), dt AS (
+  SELECT c.s, c.centroid_id,
+         CAST(round({d_l2sq("c.cv", "q.qsub")}, 6) AS DECIMAL(18,6)) AS d2
+  FROM cents c JOIN q USING (s)
+), adist AS (
+  SELECT vec_id, round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS adist
+  FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.centroid_id
+  GROUP BY vec_id
+)
+SELECT a.vec_id, e.label, a.adist,
+       CAST(row_number() OVER (ORDER BY a.adist ASC, a.vec_id ASC)
+            AS INTEGER) AS rank
+FROM adist a JOIN embeddings e USING (vec_id)
+ORDER BY a.adist ASC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_ann_pq", oracle=_PQ_ORACLE)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS IVFPQ memory story): train
+    per-subspace codebooks (deterministic seeds + one decimal-exact Lloyd
+    update), encode every vector as n_sub centroid codes, then answer the
+    query via the asymmetric-distance lookup table — vectors are scored
+    from CODES + a broadcast table, the float embeddings never join the
+    search. 64-dim vectors → 4 subspaces × 8 centroids here; 100 TB runs
+    16×256 (16 bytes/vector — a 10,000× compression of float32[1024]).
+    Top-k by (adist, vec_id) is TakeOrderedAndProject, same heap plan as
+    exact kNN. operators/knn.py:pq_train/pq_assign/pq_adc_search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = K.pq_train(
+        emb.select("vec_id", "embedding"), _PQ_NSUB, _PQ_SUBDIM, _PQ_NCENT
+    )
+    hits = K.pq_adc_search(
+        emb.select("vec_id", "embedding"), codebook,
+        _query_vec(spark, sf_dir, 11), _PQ_NSUB, _PQ_SUBDIM, k=10,
+    )
+    return hits.join(
+        F.broadcast(load_table(spark, sf_dir, "embeddings").select("vec_id", "label")),
+        "vec_id",
+    ).select("vec_id", "label", "adist", "rank").orderBy("rank")
