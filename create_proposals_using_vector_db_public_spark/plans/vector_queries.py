@@ -383,8 +383,7 @@ _PQ_SUB_SQL = f"""
        (SELECT CAST(unnest(range(0, {_PQ_NSUB})) AS INTEGER) AS s)
 """
 
-_PQ_ORACLE = f"""
-WITH sub AS ({_PQ_SUB_SQL}
+_PQ_CORE_SQL = f"""sub AS ({_PQ_SUB_SQL}
 ), seeds AS (
   SELECT s, vec_id AS centroid_id, sv AS cv FROM sub
   WHERE vec_id < {_PQ_NCENT}
@@ -426,7 +425,10 @@ WITH sub AS ({_PQ_SUB_SQL}
   SELECT vec_id, round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS adist
   FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.centroid_id
   GROUP BY vec_id
-)
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CORE_SQL}
 SELECT a.vec_id, e.label, a.adist,
        CAST(row_number() OVER (ORDER BY a.adist ASC, a.vec_id ASC)
             AS INTEGER) AS rank
@@ -459,3 +461,57 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(load_table(spark, sf_dir, "embeddings").select("vec_id", "label")),
         "vec_id",
     ).select("vec_id", "label", "adist", "rank").orderBy("rank")
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH {_PQ_CORE_SQL},
+pq AS (
+  SELECT vec_id FROM adist ORDER BY adist ASC, vec_id ASC LIMIT 10
+), qfull AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 11
+), exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY round({d_l2(dd("e.embedding"), "q.qv")}, 6) ASC,
+                      e.vec_id ASC) AS rnk
+    FROM embeddings e, qfull q
+  ) WHERE rnk <= 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(p.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 6) AS recall_at_10
+FROM exact e LEFT JOIN pq p USING (vec_id)
+"""
+
+
+@query("q_pq_recall", oracle=_PQ_RECALL_ORACLE)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ asymmetric-distance search against exact kNN for
+    the same query — the number that prices PQ's compression: how much
+    recall do 4x8 codebooks keep vs scanning full vectors? (q_ann_recall
+    answers the same question for IVF probing.) Both top-10 sets and the
+    recall itself are hash-exact, so a codebook regression breaks the
+    oracle, not just a vibe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+    codebook = K.pq_train(
+        emb.select("vec_id", "embedding"), _PQ_NSUB, _PQ_SUBDIM, _PQ_NCENT
+    )
+    pq_ids = K.pq_adc_search(
+        emb.select("vec_id", "embedding"), codebook, qv,
+        _PQ_NSUB, _PQ_SUBDIM, k=10,
+    ).select(F.col("vec_id").alias("pq_vec_id"))
+    exact = K.knn(emb, qv, k=10).select("vec_id")
+    hit = exact.join(
+        F.broadcast(pq_ids),
+        F.col("vec_id") == F.col("pq_vec_id"),
+        "left",
+    )
+    return hit.agg(
+        F.count("*").alias("n_exact"),
+        F.count("pq_vec_id").alias("n_hit"),
+        F.round(
+            F.count("pq_vec_id").cast("double") / F.count("*"), 6
+        ).alias("recall_at_10"),
+    )
