@@ -571,8 +571,13 @@ def simhash_dedup_pairs(
         a.join(b.hint("merge"), on=["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming BEFORE the pair-dedup shuffle: byte-bands collide by
+        # chance at ~1/256 per band, so the candidate set is dominated by
+        # far pairs — filtering first shrinks the dropDuplicates exchange
+        # from every chance collision down to the true near-dups. Result
+        # is identical (hamming is a function of the dedup key).
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
