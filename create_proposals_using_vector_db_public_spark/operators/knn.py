@@ -537,3 +537,42 @@ def pq_adc_search(
     ranked = adist.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("adist").asc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def ivfpq_search(
+    corpus_df: DataFrame,
+    centroids_df: DataFrame,
+    codebook_df: DataFrame,
+    query_vec: Sequence[float],
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed: coarse-quantize to prune WHICH vectors are
+    scored (n_probe/n_centroids of the corpus, partition-prunable), then
+    PQ asymmetric distance to prune WHAT is read per vector (codes +
+    lookup table, no floats). The two compressions are orthogonal —
+    IVF cuts scan volume, PQ cuts bytes per scanned row — which is
+    exactly FAISS's IVFPQ layout. Simplification vs FAISS: codes here
+    quantize raw vectors, not cell residuals; residual encoding is the
+    same pipeline with (vector − centroid) fed to pq_train/pq_assign."""
+    q = V.vec_lit(list(query_vec))
+    assigned = ivf_assign(corpus_df, centroids_df, vec_col, id_col)
+    probe = (
+        centroids_df.select(
+            "centroid_id",
+            V.l2_dist(V.as_double_array("centroid_vec"), q).alias("__qd"),
+        )
+        .orderBy(F.col("__qd").asc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cell = assigned.join(F.broadcast(probe), "centroid_id").select(
+        id_col, vec_col
+    )
+    return pq_adc_search(
+        cell, codebook_df, query_vec, n_sub, sub_dim, k, vec_col, id_col
+    )

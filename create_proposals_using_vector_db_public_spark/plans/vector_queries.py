@@ -515,3 +515,63 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("pq_vec_id").cast("double") / F.count("*"), 6
         ).alias("recall_at_10"),
     )
+
+
+_IVFPQ_ORACLE = f"""
+WITH {_PQ_CORE_SQL},
+ccents AS (
+  SELECT vec_id AS centroid_id, {dd("embedding")} AS cv
+  FROM embeddings WHERE vec_id < 8
+), qf AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 11
+), assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({d_l2(dd("e.embedding"), "c.cv")}, 6) AS cdist
+  FROM embeddings e, ccents c
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdist ASC, centroid_id ASC
+    ) AS rn FROM assign_scored
+  ) WHERE rn = 1
+), probe AS (
+  SELECT c.centroid_id FROM ccents c, qf
+  ORDER BY {d_l2("c.cv", "qf.qv")} ASC, c.centroid_id ASC
+  LIMIT 2
+), cell AS (
+  SELECT a.vec_id FROM assigned a JOIN probe p USING (centroid_id)
+)
+SELECT d.vec_id, e.label, d.adist,
+       CAST(row_number() OVER (ORDER BY d.adist ASC, d.vec_id ASC)
+            AS INTEGER) AS rank
+FROM adist d JOIN cell USING (vec_id) JOIN embeddings e USING (vec_id)
+ORDER BY d.adist ASC, d.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_ann_ivfpq", oracle=_IVFPQ_ORACLE)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: coarse cells prune WHICH vectors get scored (probe 2 of 8
+    cells), PQ codes + a broadcast lookup table prune WHAT each scored
+    vector costs (no float reads) — the composition FAISS ships as its
+    default billion-scale index, here with both layers oracle-exact.
+    ADC distances are identical to q_ann_pq's (codes quantize raw
+    vectors); only the candidate set shrinks, so the oracle derives the
+    cell from the coarse assignment and filters the same ADC scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    codebook = K.pq_train(
+        emb.select("vec_id", "embedding"), _PQ_NSUB, _PQ_SUBDIM, _PQ_NCENT
+    )
+    hits = K.ivfpq_search(
+        emb.select("vec_id", "embedding"), cents, codebook, qv,
+        _PQ_NSUB, _PQ_SUBDIM, k=10, n_probe=2,
+    )
+    return hits.join(
+        F.broadcast(emb.select("vec_id", "label")), "vec_id"
+    ).select("vec_id", "label", "adist", "rank").orderBy("rank")
