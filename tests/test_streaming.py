@@ -166,3 +166,54 @@ def test_stateful_counts_survive_across_runs(spark, watch_dir, tmp_path):
     # batch 2 emitted only key 'a', with the CUMULATIVE total 3+2=5
     assert max(r["n_events"] for r in rows if r["file_name"] == "a") == 5
     assert max(r["n_events"] for r in rows if r["file_name"] == "b") == 1
+
+
+def test_watermark_drops_late_event_across_runs(spark, watch_dir, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark, driven by two
+    AvailableNow runs off one checkpoint: run 1 ingests on-time events and
+    advances the watermark past the first window's end; run 2 ingests one
+    LATE event inside that closed window plus one fresh event. The closed
+    window must finalize WITHOUT the late row — bounded state + late-data
+    drop, the semantics that let event-time aggs run forever at scale."""
+    import datetime as dt
+
+    d = f"{watch_dir}/events"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run_once():
+        stream = S.stream_parquet(
+            spark, f"{d}/*.parquet", SCHEMA
+        ).withColumn("value", F.lit(1.0)).withColumn(
+            "event_type", F.lit("e")
+        )
+        win = S.windowed_event_counts(
+            stream, ts_col="ts", window="30 minutes", watermark="10 minutes"
+        )
+        flat = win.select(
+            F.col("win.start").alias("w_start"), "event_type", "cnt"
+        )
+        S.available_now_to_parquet(flat, out, ckpt)
+
+    # run 1: two events in [12:00,12:30) + one at 13:00 (watermark -> 12:50)
+    _write_file(spark, d, "a.parquet", [
+        ("a", "x", t0),
+        ("a", "x", t0 + dt.timedelta(minutes=5)),
+        ("a", "x", t0 + dt.timedelta(hours=1)),
+    ])
+    run_once()
+    # run 2: a LATE event at 12:10 (before the 12:50 watermark — must be
+    # dropped) and a fresh on-time event at 13:05
+    _write_file(spark, d, "b.parquet", [
+        ("b", "late", t0 + dt.timedelta(minutes=10)),
+        ("b", "x", t0 + dt.timedelta(hours=1, minutes=5)),
+    ])
+    run_once()
+
+    got = {
+        r.w_start: r.cnt for r in spark.read.parquet(out).collect()
+    }
+    # the [12:00,12:30) window finalized with ONLY the 2 on-time events;
+    # the late 12:10 row did not resurrect or inflate it
+    assert got.get(t0) == 2, got
