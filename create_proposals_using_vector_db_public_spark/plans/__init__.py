@@ -39,7 +39,7 @@ _PRIORITY = [
     # round-2 flagship additions: e2e composition, PQ, corpus assembly
     "q_e2e_corpus", "q_ann_pq", "q_decontaminate", "q_pack_sequences",
     "q_bloom_join", "q_incremental_agg", "q_gap_fill", "q_full_outer",
-    "q_pq_recall", "q_ann_ivfpq", "q_funnel", "q_retention", "q_scd2",
+    "q_pq_recall", "q_ann_ivfpq", "q_funnel", "q_retention", "q_scd2", "q_fuzzy_match",
     # round-2 batch 1 — no prior driver row
     "q_pii_scrub", "q_repetition_ratio", "q_boilerplate_lines", "q_dup_clusters",
     "q_winnow_dups", "q_scalar_subquery", "q_ann_lsh", "q_lag_lead",
@@ -50,14 +50,14 @@ _PRIORITY = [
     "q_udf_trimmed_mean", "q_udtf_tokens",
     # text family (reference-parity ops R21-R25) — never reached
     "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
-    "q_array_ops", "q_prompt_template", "q_split_sections",
+    "q_array_ops", "q_prompt_template",
     # temporal / streaming — never reached
     "q_asof_join", "q_range_join", "q_stream_tumbling",
     "q_chunk_fixed",
     # ---- window boundary: everything below still registers + is parity-
     # checked locally (tools/parity.py), but yields its driver slot to the
     # entries above when the harness caps at 50 ----
-    "q_format_roundtrip", "q_quality_score", "q_lang_id", "q_comma_parse", "q_zorder_layout", "q_salted_join", "q_heavy_hitters", "q_centroid_label",
+    "q_split_sections", "q_format_roundtrip", "q_quality_score", "q_lang_id", "q_comma_parse", "q_zorder_layout", "q_salted_join", "q_heavy_hitters", "q_centroid_label",
     "q_rare_terms", "q_histogram", "q_approx_percentile", "q_grouping_sets",
     # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called
     # it the foldable low-value entry)

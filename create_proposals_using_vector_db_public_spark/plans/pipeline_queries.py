@@ -571,3 +571,69 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, cents1, _query_vec(spark, sf_dir, 11), k=10, n_probe=2
     )
     return out.select("vec_id", "label", "dist", "cosine", "rank")
+
+
+# --- fuzzy (edit-distance) matching ------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH corpus AS (
+  SELECT p_partkey AS id, p_name AS name FROM part
+  UNION ALL
+  SELECT p_partkey + 400000, 'x' || substr(p_name, 2)
+  FROM part WHERE p_partkey % 37 = 0
+), blocked AS (
+  SELECT id, name,
+         length(name) AS blk_len,
+         substr(name, length(name) - 3, 4) AS blk_sfx
+  FROM corpus
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.blk_len = b.blk_len AND a.blk_sfx = b.blk_sfx AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@query("q_fuzzy_match", oracle=_FUZZY_ORACLE)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance ≤ 1) record matching with blocking — the
+    entity-resolution pass for names/titles where exact and shingle dedup
+    both miss single-character corruptions. Planted rows corrupt the
+    first character of a deterministic slice, so true matches exist and
+    the oracle reproduces them exactly.
+
+    Scale shape: NEVER all-pairs — candidates come from an equality
+    block (length, 4-char suffix), which a 1-substitution corruption
+    provably preserves; levenshtein runs only inside blocks. At 100 TB
+    you widen recall with multiple redundant block keys (prefix, suffix,
+    deletion-neighborhood q-grams), each an equality join the engine
+    shuffles hash-partitioned — same shape as the MinHash band join."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    planted = p.filter(F.col("id") % 37 == 0).select(
+        (F.col("id") + 400000).alias("id"),
+        F.concat(F.lit("x"), F.expr("substr(name, 2)")).alias("name"),
+    )
+    corpus = p.unionByName(planted)
+    blocked = corpus.select(
+        "id", "name",
+        F.length("name").alias("blk_len"),
+        F.expr("substr(name, length(name) - 3, 4)").alias("blk_sfx"),
+    )
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        "blk_len", "blk_sfx",
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        "blk_len", "blk_sfx",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["blk_len", "blk_sfx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 1)
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+    )
