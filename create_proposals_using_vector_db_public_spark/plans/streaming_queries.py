@@ -16,21 +16,28 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
+from ..sources.tables import load_events
 from ..streaming import available_now_to_memory, stream_parquet, watermark_dedup
 from .registry import query
 
-_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as raw long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_type: str) -> StructType:
+    # ts arrives as raw bigint nanos on Spark ≤4.0 (nanosAsLong) and as
+    # TIMESTAMP_NTZ on 4.1+ — mirror whatever the batch reader produced.
+    ts_field = LongType() if ts_type == "bigint" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_field),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,9 +52,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = stream_parquet(spark, stage, _EVENTS_SCHEMA)
-    return raw.withColumn("ts_us", F.expr("ts div 1000"))
+    # Probe the batch reader once to learn this Spark's nanos mapping;
+    # load_events also pins the UTC session timezone + legacy conf.
+    load_events(spark, sf_dir)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(batch.dtypes)["ts"]
+    raw = stream_parquet(spark, stage, _events_schema(ts_type))
+    if ts_type == "bigint":
+        return raw.withColumn("ts_us", F.expr("ts div 1000"))
+    return raw.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).drop("ts")
 
 
 _STREAM_TUMBLING_ORACLE = """

@@ -34,29 +34,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. Read the nanos as a raw long
-    (legacy conf) and expose:
+    """The events table carries parquet TIMESTAMP(NANOS). Spark's reader
+    behavior differs by version — Spark ≤4.0 rejects nanos unless the
+    legacy ``nanosAsLong`` conf maps them to raw bigint; Spark 4.1+ reads
+    them natively as TIMESTAMP_NTZ (truncated to µs, exactly like DuckDB
+    truncates TIMESTAMP_NS to its native µs on read). Handle both and
+    expose a stable schema:
 
-    - ``ts_ns``  : bigint nanoseconds since epoch (full precision),
-    - ``ts_us``  : bigint microseconds — matches DuckDB's precision, which
-      truncates TIMESTAMP_NS to its native µs TIMESTAMP on read, so every
-      oracle comparison/ordering uses ``ts_us``,
+    - ``ts_ns``  : bigint nanoseconds since epoch,
+    - ``ts_us``  : bigint microseconds — matches DuckDB ``epoch_us(ts)``,
+      so every oracle comparison/ordering uses ``ts_us``,
     - ``ts``     : a real TIMESTAMP column (µs) for human-facing use.
 
     Integer timestamps keep all ordering/bucketing arithmetic
-    timezone-independent — rendering via the session timezone is the #1
-    cross-engine divergence for time queries.
+    timezone-independent; the session timezone is pinned to UTC so the
+    NTZ→instant interpretation and ``to_date``/``date_format`` rendering
+    agree with DuckDB's naive-timestamp semantics — session-timezone
+    rendering is the #1 cross-engine divergence for time queries.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:  # honored on Spark ≤4.0; accepted-but-ignored on 4.1+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy nanosAsLong path
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts_us", F.expr("ts_ns div 1000")
+        )
+    else:  # timestamp_ntz (or timestamp): fields are the UTC wall clock
+        df = (
+            df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+            .drop("ts")
+        )
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
