@@ -24,6 +24,8 @@ from . import (  # noqa: F401,E402
     format_queries,     # CSV/JSONL/ORC sink+source round-trip
     assembly_queries,   # round-2 batch 3: decontamination, sequence packing
     behavior_queries,   # funnel, cohort retention, SCD2 intervals
+    profiling_queries,  # column profiling, outlier flagging, OOV, inverted search
+    maintenance_queries,  # CDC apply, zone-map pruning, compaction
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
@@ -57,6 +59,11 @@ _PRIORITY = [
     # ---- window boundary: everything below still registers + is parity-
     # checked locally (tools/parity.py), but yields its driver slot to the
     # entries above when the harness caps at 50 ----
+    # round-2 batch 4 (registered after the 50-entry window; parity-checked
+    # locally): profiling, maintenance, Q5 join, EWMA
+    "q_profile", "q_anomaly", "q_vocab_coverage", "q_inverted_search",
+    "q_cdc_apply", "q_zonemap_prune", "q_compaction",
+    "q_join_multiway", "q_ewma_smooth",
     "q_split_sections", "q_format_roundtrip", "q_quality_score", "q_lang_id", "q_comma_parse", "q_zorder_layout", "q_salted_join", "q_heavy_hitters", "q_centroid_label",
     "q_rare_terms", "q_histogram", "q_approx_percentile", "q_grouping_sets",
     # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called

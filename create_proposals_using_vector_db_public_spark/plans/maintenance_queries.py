@@ -1,0 +1,224 @@
+"""Table-maintenance declared queries — the operational layer every
+lakehouse runs around its data: CDC apply (last-writer-wins change
+materialization), zone-map data skipping, and small-file compaction.
+
+Reference lineage: the reference's whole v2 ingest loop IS a hand-rolled
+CDC apply (hash-skip + delete-then-insert upsert, app_callapi.py:135-154)
+and its full-index rebuild (app_callapi.py:122-130) is a compaction; these
+queries generalize those behaviors to the shapes a 100 TB warehouse needs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# --- CDC apply (last-writer-wins) --------------------------------------------
+#
+# The events stream read as a changelog: each event is an upsert of that
+# user's state, except 'error' events which are delete tombstones. Applying
+# the log = keep each key's LAST operation (by ts, tie-broken by event_id
+# so replay is deterministic), drop keys whose last op is a tombstone.
+
+_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v100,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+       v100 AS last_v100, CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("q_cdc_apply", oracle=_CDC_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a changelog into current state: row_number() over each
+    key ordered by (ts DESC, event_id DESC) keeps exactly the last write,
+    tombstoned keys drop out. This is the scalable form of the reference's
+    delete-then-insert upsert (app_callapi.py:140-142) — one shuffle keyed
+    by the entity, then a per-partition window; no global sort, no
+    iterative merge. At 100 TB the same plan runs per partition-pruned
+    date range, and the deterministic tie-break makes replays idempotent
+    (the ADVICE r1 keep_first lesson)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        "v100",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_changes"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("v100").alias("last_v100"),
+        "n_changes",
+    )
+
+
+# --- zone-map data skipping --------------------------------------------------
+#
+# Parquet row groups / Delta files carry min-max column stats; a reader
+# prunes any unit whose [min, max] cannot intersect the predicate. Zone
+# maps only pay off on CLUSTERED columns — stats over a randomly-ordered
+# layout span the whole domain and prune nothing (measured here: orderkey
+# blocks keep 24/24 zones for a date predicate). So the zones model a
+# date-clustered layout (one zone per ship month — what
+# repartitionByRange(l_shipdate) + sortWithinPartitions produces, the 1-D
+# sibling of q_zorder_layout), stats are min/max shipdate per zone, and
+# the output proves how many zones the predicate lets the scan skip.
+
+_ZONE_LO = "1996-01-01"
+_ZONE_HI = "1996-03-31"
+
+_ZONEMAP_ORACLE = f"""
+WITH z AS (
+  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS zone_id,
+         min(l_shipdate) AS zmin, max(l_shipdate) AS zmax
+  FROM lineitem GROUP BY 1
+), kept AS (
+  SELECT zone_id FROM z
+  WHERE zmin <= TIMESTAMP '{_ZONE_HI}'
+    AND zmax >= TIMESTAMP '{_ZONE_LO}'
+), rev AS (
+  SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem
+  WHERE year(l_shipdate) * 12 + month(l_shipdate) - 1
+        IN (SELECT zone_id FROM kept)
+    AND l_shipdate >= TIMESTAMP '{_ZONE_LO}'
+    AND l_shipdate <= TIMESTAMP '{_ZONE_HI}'
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM z) AS n_zones,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_zones_scanned,
+       rev.n_rows, rev.revenue
+FROM rev
+"""
+
+
+@query("q_zonemap_prune", oracle=_ZONEMAP_ORACLE)
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning made visible: build per-zone min/max shipdate
+    stats over a date-clustered layout, keep only zones whose bounds can
+    intersect the date predicate, then evaluate the query inside
+    survivors. n_zones vs n_zones_scanned IS the data-skipping ratio a
+    lakehouse reader gets from footer stats (~3 of ~80 month-zones here).
+
+    Scale shape: the stats table is |zones| rows (one aggregate), the kept
+    list broadcasts into the main scan as a semi-join — the engine-level
+    equivalent of dynamic file pruning. Revenue uses the decimal money-sum
+    discipline so the value hash holds at any scale. The required
+    clustering itself is q_zorder_layout / repartitionByRange — stats
+    over a random layout provably skip nothing (tests/test_maintenance.py
+    pins both behaviors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zone = (
+        F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+    ).cast("bigint")
+    z = li.groupBy(zone.alias("zone_id")).agg(
+        F.min("l_shipdate").alias("zmin"), F.max("l_shipdate").alias("zmax")
+    )
+    kept = z.filter(
+        (F.col("zmin") <= _ZONE_HI) & (F.col("zmax") >= _ZONE_LO)
+    ).select("zone_id")
+    survivors = li.withColumn("zone_id", zone).join(
+        F.broadcast(kept), "zone_id", "left_semi"
+    )
+    rev = survivors.filter(
+        (F.col("l_shipdate") >= _ZONE_LO) & (F.col("l_shipdate") <= _ZONE_HI)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+    )
+    counts = z.agg(F.count(F.lit(1)).alias("n_zones")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_zones_scanned"))
+    )
+    return counts.crossJoin(rev).select(
+        "n_zones", "n_zones_scanned", "n_rows", "revenue"
+    )
+
+
+# --- small-file compaction ---------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_orderkey * 2654435761 % 2147483647 AS BIGINT))
+            AS BIGINT) AS content_sum
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("q_compaction", oracle=_COMPACT_ORACLE)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: write a table as many small
+    files (the streaming-ingest pathology), rewrite it as few large ones,
+    and prove content identity via an order-independent checksum. The
+    reference's full-index rebuild (app_callapi.py:122-130) is this
+    operation; at 100 TB it is OPTIMIZE/rewriteFiles, expressed here as
+    coalesce-and-rewrite so the shuffle-free path is visible
+    (coalesce merges partitions without a shuffle — repartition would pay
+    one to rebalance; for bin-packing by size a real compactor sorts by
+    file size first, same plan shape).
+
+    File-count assertions (many -> few) live in tests/test_maintenance.py;
+    the declared output is (n_rows, content_sum) so the oracle can verify
+    nothing was lost or duplicated."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_compact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    small, big = f"{base}/small", f"{base}/big"
+    shutil.rmtree(base, ignore_errors=True)
+    # pathological layout: 64 tiny files
+    src.repartition(64).write.mode("overwrite").parquet(small)
+    # compaction: no shuffle — AQE-style partition merge down to 2 files
+    spark.read.parquet(small).coalesce(2).write.mode("overwrite").parquet(big)
+    compacted = spark.read.parquet(big)
+    checksum = F.sum(
+        (F.col("o_orderkey") * F.lit(2654435761) % F.lit(2147483647))
+        .cast("bigint")
+    ).cast("bigint")
+    return compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"), checksum.alias("content_sum")
+    )

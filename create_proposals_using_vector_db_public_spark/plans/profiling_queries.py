@@ -1,0 +1,297 @@
+"""Data-profiling / data-quality declared queries — the "know your
+corpus" operators a 100 TB training-data pipeline runs before anything
+else: per-column statistics (ANALYZE TABLE shape), moment-based outlier
+flagging, vocabulary coverage (OOV rate), and conjunctive inverted-index
+search.
+
+Every output is integer or scaled-integer exact, so the driver's value
+hash is stable at any scale and under any partitioning (the round-1
+float-determinism lesson applied from the start: engine-order-dependent
+double accumulation never reaches an output column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources import load_table
+from .registry import query
+
+# --- column profiling (ANALYZE TABLE) ---------------------------------------
+#
+# One row per profiled column: row/null/distinct counts plus type-aware
+# min/max keys, everything BIGINT:
+#   numeric   -> value scaled x100 (money-grade fixture data is 2dp)
+#   timestamp -> epoch days
+#   string    -> min/max LENGTH (content min/max is collation-dependent;
+#                length is what size-skew planning actually needs)
+
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT
+    count(*) AS n_rows,
+    count(*) - count(l_quantity)      AS nn_qty,
+    count(*) - count(l_extendedprice) AS nn_price,
+    count(*) - count(l_returnflag)    AS nn_flag,
+    count(*) - count(l_shipdate)      AS nn_ship,
+    count(DISTINCT l_quantity)      AS nd_qty,
+    count(DISTINCT l_extendedprice) AS nd_price,
+    count(DISTINCT l_returnflag)    AS nd_flag,
+    count(DISTINCT l_shipdate)      AS nd_ship,
+    CAST(round(min(l_quantity) * 100) AS BIGINT) AS min_qty,
+    CAST(round(max(l_quantity) * 100) AS BIGINT) AS max_qty,
+    CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS min_price,
+    CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS max_price,
+    min(length(l_returnflag)) AS min_flag,
+    max(length(l_returnflag)) AS max_flag,
+    CAST(CAST(min(l_shipdate) AS DATE) - DATE '1970-01-01' AS BIGINT)
+      AS min_ship,
+    CAST(CAST(max(l_shipdate) AS DATE) - DATE '1970-01-01' AS BIGINT)
+      AS max_ship
+  FROM lineitem
+)
+SELECT col_name, n_rows, n_nulls, n_distinct, min_key, max_key FROM (
+  SELECT 'l_quantity' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(nn_qty AS BIGINT) AS n_nulls, CAST(nd_qty AS BIGINT) AS n_distinct,
+         min_qty AS min_key, max_qty AS max_key FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(n_rows AS BIGINT), CAST(nn_price AS BIGINT),
+         CAST(nd_price AS BIGINT), min_price, max_price FROM s
+  UNION ALL
+  SELECT 'l_returnflag', CAST(n_rows AS BIGINT), CAST(nn_flag AS BIGINT),
+         CAST(nd_flag AS BIGINT), CAST(min_flag AS BIGINT),
+         CAST(max_flag AS BIGINT) FROM s
+  UNION ALL
+  SELECT 'l_shipdate', CAST(n_rows AS BIGINT), CAST(nn_ship AS BIGINT),
+         CAST(nd_ship AS BIGINT), min_ship, max_ship FROM s
+)
+"""
+
+
+@query("q_profile", oracle=_PROFILE_ORACLE)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan: every count/null/distinct/min/max
+    aggregate for all profiled columns computes in a single partial+final
+    aggregation, then the 1-row result is unpivoted driver-free with
+    stack(). The multi-column COUNT(DISTINCT) makes Catalyst expand the
+    input x4 before the partial agg — that is a deliberate trade: at
+    100 TB one expanded scan still beats four separate scans because each
+    expansion row carries exactly one column, and the alternative
+    (approx_count_distinct) loses the exactness the oracle checks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    agg = li.agg(
+        n.alias("n_rows"),
+        (n - F.count("l_quantity")).alias("nn_qty"),
+        (n - F.count("l_extendedprice")).alias("nn_price"),
+        (n - F.count("l_returnflag")).alias("nn_flag"),
+        (n - F.count("l_shipdate")).alias("nn_ship"),
+        F.countDistinct("l_quantity").alias("nd_qty"),
+        F.countDistinct("l_extendedprice").alias("nd_price"),
+        F.countDistinct("l_returnflag").alias("nd_flag"),
+        F.countDistinct("l_shipdate").alias("nd_ship"),
+        F.round(F.min("l_quantity") * 100).cast("bigint").alias("min_qty"),
+        F.round(F.max("l_quantity") * 100).cast("bigint").alias("max_qty"),
+        F.round(F.min("l_extendedprice") * 100).cast("bigint").alias("min_price"),
+        F.round(F.max("l_extendedprice") * 100).cast("bigint").alias("max_price"),
+        F.min(F.length("l_returnflag")).cast("bigint").alias("min_flag"),
+        F.max(F.length("l_returnflag")).cast("bigint").alias("max_flag"),
+        # datediff on the NTZ timestamp's date fields — timezone-free on
+        # both engines (epoch-micros would re-interpret via session tz)
+        F.datediff(F.to_date(F.min("l_shipdate")), F.lit("1970-01-01"))
+        .cast("bigint").alias("min_ship"),
+        F.datediff(F.to_date(F.max("l_shipdate")), F.lit("1970-01-01"))
+        .cast("bigint").alias("max_ship"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             'l_quantity',      n_rows, nn_qty,   nd_qty,   min_qty,   max_qty,
+             'l_extendedprice', n_rows, nn_price, nd_price, min_price, max_price,
+             'l_returnflag',    n_rows, nn_flag,  nd_flag,  min_flag,  max_flag,
+             'l_shipdate',      n_rows, nn_ship,  nd_ship,  min_ship,  max_ship
+           ) AS (col_name, n_rows, n_nulls, n_distinct, min_key, max_key)"""
+    )
+
+
+# --- moment-based outlier flagging -------------------------------------------
+#
+# Flag events more than 2 sample standard deviations from their
+# (event_type, month) group mean. Everything stays INTEGER: with v = 100x
+# value (cents), S = sum(v), Q = sum(v^2), n = count, the condition
+#     |x - mean| > 2 * stddev_samp
+# squares to
+#     (n*v - S)^2 * (n-1) > 4 * n * (n*Q - S^2)
+# -- no division, no sqrt, no float anywhere, so the flag is bit-exact in
+# both engines. Intermediates run in 128-bit integers (Spark DECIMAL(38,0),
+# DuckDB HUGEINT) because (n*v)^2*(n-1) overflows int64 once groups pass
+# ~1e3 rows; 128-bit holds to ~1e18-row groups, far past any real
+# (type, month) cell.
+
+_ANOMALY_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type, strftime(ts, '%Y-%m') AS month,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+), g AS (
+  SELECT event_type, month,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(v100) AS HUGEINT) AS s,
+         CAST(sum(CAST(v100 AS HUGEINT) * v100) AS HUGEINT) AS q
+  FROM e GROUP BY event_type, month
+)
+SELECT e.event_id, e.event_type, e.month, e.v100,
+       CAST(g.n AS BIGINT) AS group_n
+FROM e JOIN g USING (event_type, month)
+WHERE (g.n * e.v100 - g.s) * (g.n * e.v100 - g.s) * (g.n - 1)
+      > 4 * g.n * (g.n * g.q - g.s * g.s)
+"""
+
+
+@query("q_anomaly", oracle=_ANOMALY_ORACLE)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sigma outlier events per (event_type, month) via integer moment
+    algebra — the anomaly gate a pipeline runs over metric streams before
+    training on them.
+
+    Scale shape: one partial+final aggregate keyed by the group, then a
+    same-key join of the tiny group-moment table back to events (broadcast
+    at any scale: |event types| x |months| rows). No window over the full
+    stream, no second shuffle.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    d38 = "decimal(38,0)"
+    g = e.groupBy("event_type", "month").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("v100").cast(d38)).cast(d38).alias("s"),
+        F.sum(F.col("v100").cast(d38) * F.col("v100")).cast(d38).alias("q"),
+    )
+    j = e.join(F.broadcast(g), ["event_type", "month"])
+    v = F.col("v100").cast(d38)
+    lhs = (F.col("n") * v - F.col("s")) * (F.col("n") * v - F.col("s")) * (
+        F.col("n") - 1
+    )
+    rhs = 4 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return j.filter(lhs > rhs).select(
+        "event_id",
+        "event_type",
+        "month",
+        "v100",
+        F.col("n").cast("bigint").alias("group_n"),
+    )
+
+
+# --- vocabulary coverage (OOV rate) ------------------------------------------
+
+_VOCAB_N = 100
+
+_VOCAB_WORDS_SQL = (
+    "list_filter(list_transform(string_split_regex(lower(text), '\\s+'), "
+    "w -> trim(w)), w -> length(w) > 0)"
+)
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_VOCAB_WORDS_SQL}) AS w FROM documents
+), vocab AS (
+  SELECT w FROM toks GROUP BY w
+  ORDER BY count(*) DESC, w ASC LIMIT {_VOCAB_N}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+       round(count(*) FILTER (WHERE v.w IS NULL) / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+"""
+
+
+@query("q_vocab_coverage", oracle=_VOCAB_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N vocabulary construction + per-document out-of-vocabulary
+    rate — the coverage check run before committing to a tokenizer vocab.
+    Vocabulary rank ties break on the token itself so the vocab set is
+    deterministic.
+
+    Scale shape: token counting is one partial+final aggregate on the
+    token; the global top-N is TakeOrderedAndProject (per-partition heaps,
+    no full sort); the N-row vocab then broadcasts back onto the token
+    stream, so the per-doc pass adds no shuffle beyond its own doc_id
+    aggregation. The OOV division happens once per doc on two BIGINTs —
+    IEEE-exact and identical in both engines.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("w"))
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(_VOCAB_N)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "w", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("in_vocab").isNull(), 1))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+# --- conjunctive inverted-index search ---------------------------------------
+
+_SEARCH_TERMS = ("vector", "join", "scan")
+
+_INVERTED_ORACLE = f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest({_VOCAB_WORDS_SQL}) AS w FROM documents
+  )
+  WHERE w IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+)
+SELECT p.doc_id, d.lang, d.n_chars
+FROM postings p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY p.doc_id, d.lang, d.n_chars
+HAVING count(*) = {len(_SEARCH_TERMS)}
+"""
+
+
+@query("q_inverted_search", oracle=_INVERTED_ORACLE)
+def q_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-of-terms document search by posting-list intersection: docs
+    containing EVERY query term, found by counting distinct matched terms
+    per doc — the inverted-index query shape (term -> postings -> count ==
+    |terms|), not a LIKE scan.
+
+    Scale shape: the term filter applies BEFORE the shuffle, so only
+    postings of the queried terms move (at 100 TB with a materialized
+    postings table this is an index lookup; here the posting build is
+    fused into the same job). The doc-metadata join keys on doc_id
+    after the intersection has already shrunk the left side to final
+    matches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = [F.lit(t) for t in _SEARCH_TERMS]
+    postings = (
+        docs.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w").isin(*_SEARCH_TERMS))
+        .distinct()
+    )
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return hits.join(docs, "doc_id").select("doc_id", "lang", "n_chars")

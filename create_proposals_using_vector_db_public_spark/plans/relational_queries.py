@@ -815,3 +815,73 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_cnt",
         "acctbal",
     )
+
+
+# --- six-table star join (TPC-H Q5 shape) ------------------------------------
+
+_MULTIWAY_ORACLE = """
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("q_join_multiway", oracle=_MULTIWAY_ORACLE)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier revenue per nation — the canonical
+    six-table star join (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region)
+    with the same-nation constraint that makes join ORDER matter.
+
+    Scale shape: region/nation/supplier are broadcast (dims); the
+    customer⋈orders⋈lineitem chain carries the two real shuffles, with
+    the region+date predicates applied before any fact-side join so
+    Catalyst pushes them into the scans. Revenue accumulates in exact
+    decimals (the q_agg_basic discipline) so the hash holds at any
+    scale."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    facts = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .select("c_nationkey", "l_suppkey", "l_extendedprice", "l_discount")
+    )
+    j = facts.join(
+        F.broadcast(dims),
+        (facts.l_suppkey == dims.s_suppkey)
+        & (facts.c_nationkey == dims.s_nationkey),
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

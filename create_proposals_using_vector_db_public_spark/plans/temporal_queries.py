@@ -168,3 +168,84 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+# --- exponential smoothing (fixed-depth EWMA) --------------------------------
+#
+# Classic EWMA is a sequential recurrence (each value depends on the
+# previous smoothed value) — inherently order-dependent float math that no
+# two engines accumulate identically. The fixed-depth form used here
+# truncates the tail (weights 2^-(j) over the last 8 observations), which
+# (a) is what bounded-state streaming smoothers actually compute and
+# (b) turns the numerator/denominator into INTEGER dot products:
+# bit-exact, order-independent, one window pass.
+
+_EWMA_DEPTH = 8
+
+_EWMA_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events WHERE user_id < 40
+), lagged AS (
+  SELECT user_id, event_id, ts_us, v100,
+         {", ".join(
+             f"lag(v100, {j}) OVER w AS l{j}" for j in range(1, _EWMA_DEPTH)
+         )}
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_id, ts_us,
+       round((
+         v100 * {2 ** (_EWMA_DEPTH - 1)}
+         + {" + ".join(
+             f"coalesce(l{j}, 0) * {2 ** (_EWMA_DEPTH - 1 - j)}"
+             for j in range(1, _EWMA_DEPTH)
+         )}
+       ) / (
+         {2 ** (_EWMA_DEPTH - 1)}
+         + {" + ".join(
+             f"CASE WHEN l{j} IS NULL THEN 0 ELSE {2 ** (_EWMA_DEPTH - 1 - j)} END"
+             for j in range(1, _EWMA_DEPTH)
+         )}
+       ) / 100, 6) AS ewma
+FROM lagged
+"""
+
+
+@query("q_ewma_smooth", oracle=_EWMA_ORACLE)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing over each user's last 8 events:
+    weights halve with age ((1/2)^j, renormalized over the observations
+    actually present at the start of a series). Numerator and denominator
+    are integer dot products (cents x power-of-two weights), so the only
+    float operation is one final division — identical IEEE inputs on both
+    engines, then round(…, 6).
+
+    Scale shape: one shuffle keyed by user, then a per-partition ordered
+    window; depth-8 lag state is O(1) per row. The streaming twin is
+    q_stream_stateful — same bounded-state idea under
+    applyInPandasWithState."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lags = {j: F.lag("v100", j).over(w) for j in range(1, _EWMA_DEPTH)}
+    num = F.col("v100") * F.lit(2 ** (_EWMA_DEPTH - 1))
+    den = F.lit(2 ** (_EWMA_DEPTH - 1))
+    for j, lj in lags.items():
+        wgt = 2 ** (_EWMA_DEPTH - 1 - j)
+        num = num + F.coalesce(lj, F.lit(0)) * F.lit(wgt)
+        den = den + F.when(lj.isNull(), 0).otherwise(wgt)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(num / den / 100, 6).alias("ewma"),
+    )
