@@ -26,6 +26,7 @@ from . import (  # noqa: F401,E402
     behavior_queries,   # funnel, cohort retention, SCD2 intervals
     profiling_queries,  # column profiling, outlier flagging, OOV, inverted search
     maintenance_queries,  # CDC apply, zone-map pruning, compaction
+    graph_queries,      # co-order graph: degree, integer PageRank, triangles
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
@@ -64,6 +65,7 @@ _PRIORITY = [
     "q_profile", "q_anomaly", "q_vocab_coverage", "q_inverted_search",
     "q_cdc_apply", "q_zonemap_prune", "q_compaction",
     "q_join_multiway", "q_ewma_smooth",
+    "q_graph_degree", "q_pagerank", "q_triangle_count",
     "q_split_sections", "q_format_roundtrip", "q_quality_score", "q_lang_id", "q_comma_parse", "q_zorder_layout", "q_salted_join", "q_heavy_hitters", "q_centroid_label",
     "q_rare_terms", "q_histogram", "q_approx_percentile", "q_grouping_sets",
     # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called

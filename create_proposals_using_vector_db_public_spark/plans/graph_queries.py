@@ -1,0 +1,210 @@
+"""Graph-analytics declared queries over the part co-order graph
+(market-basket structure mined from lineitem): degree distribution,
+PageRank, and triangle counting.
+
+The graph is implicit in the relational data — nodes are parts, an edge
+joins two parts that appear in the same order. That is the standard
+"build the graph with a self-join, then run iterative analytics as
+repeated same-key joins" pattern a Spark cluster uses instead of a
+dedicated graph engine (GraphX/GraphFrames compile to exactly these
+plans). TPC-H orders carry at most 7 lineitems, so the per-order pair
+expansion is bounded (k^2 <= 49); on a real basket dataset the same cap
+is applied explicitly before the self-join.
+
+PageRank's float recurrence is engine-order-dependent (the sum over
+in-neighbors has no canonical order), so ranks here run in SCALED INTEGER
+arithmetic: rank x 1e6, floor division for the per-edge contribution and
+the damping multiply. Every iteration is bit-exact on both engines — the
+same trick the moment-algebra q_anomaly uses, applied to an iterative
+algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+_PR_SCALE = 1_000_000
+_PR_ITERS = 3
+_TRI_MIN_W = 2
+
+_EDGES_SQL = """
+io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS w
+  FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+),
+u AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM e
+)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-order edges (pa < pb) with co-occurrence weight."""
+    io = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = io.alias("a")
+    b = io.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+
+
+# --- degree distribution -----------------------------------------------------
+
+_DEGREE_ORACLE = f"""
+WITH {_EDGES_SQL.strip()},
+d AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM u GROUP BY src)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY degree
+"""
+
+
+@query("q_graph_degree", oracle=_DEGREE_ORACLE)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-order graph — the first question
+    asked of any graph (skew check before choosing a partitioning for the
+    iterative passes). Two aggregations: per-node degree, then the
+    distribution; the heavy step is the basket self-join, one shuffle
+    keyed by order."""
+    u = _undirected(_edges(spark, sf_dir))
+    d = u.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return d.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# --- PageRank (scaled-integer, unrolled iterations) --------------------------
+
+
+def _pr_iteration_sql(k: int) -> str:
+    return f"""
+r{k} AS (
+  SELECT d.src AS node, d.deg,
+         CAST(150000 + (85 * coalesce(s.contrib, 0)) // 100 AS BIGINT) AS r
+  FROM d LEFT JOIN (
+    SELECT u.dst, sum(p.r // p.deg) AS contrib
+    FROM u JOIN r{k - 1} p ON u.src = p.node
+    GROUP BY u.dst
+  ) s ON d.src = s.dst
+)"""
+
+
+_PAGERANK_ORACLE = (
+    f"WITH {_EDGES_SQL.strip()},\n"
+    "d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY src),\n"
+    f"r0 AS (SELECT src AS node, deg, CAST({_PR_SCALE} AS BIGINT) AS r FROM d)"
+    + "".join("," + _pr_iteration_sql(k) for k in range(1, _PR_ITERS + 1))
+    + f"""
+SELECT node, r AS rank_e6, deg
+FROM r{_PR_ITERS}
+ORDER BY r DESC, node ASC LIMIT 20
+"""
+)
+
+
+@query("q_pagerank", oracle=_PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {iters} unrolled iterations) over the
+    co-order graph, top-20 nodes. Ranks are integers scaled by 1e6:
+    per-edge contribution is r div deg (floor), damping is
+    (85 * sum) div 100 — no float ever enters, so the iteration is
+    deterministic under any partitioning and any summation order, and the
+    DuckDB oracle replays it bit-for-bit through a CTE chain.
+
+    Scale shape: each iteration is one join of the edge list with the
+    |nodes|-sized rank table (broadcast when dims allow, else same-key
+    shuffle that AQE reuses) plus one partial+final sum keyed by dst —
+    the textbook Pregel-on-DataFrames plan. The edge list is computed
+    once and cached; iterations reuse it."""
+    edges = _edges(spark, sf_dir)
+    u = _undirected(edges).cache()
+    d = u.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    state = d.select(
+        F.col("src").alias("node"), "deg", F.lit(_PR_SCALE).cast("bigint").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            u.join(state, u.src == state.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        state = (
+            d.join(contrib, d.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("node"),
+                "deg",
+                (
+                    F.lit(150_000)
+                    + F.expr("(85 * coalesce(contrib, 0L)) div 100")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return (
+        state.orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(20)
+        .select("node", F.col("r").alias("rank_e6"), "deg")
+    )
+
+
+q_pagerank.__doc__ = q_pagerank.__doc__.format(iters=_PR_ITERS)
+
+
+# --- triangle counting -------------------------------------------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH {_EDGES_SQL.strip()},
+s AS (SELECT pa, pb FROM e WHERE w >= {_TRI_MIN_W})
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM s e1
+JOIN s e2 ON e2.pa = e1.pb
+JOIN s e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+@query("q_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the strong co-order subgraph (pairs co-ordered
+    >= {w} times). Edges are kept in canonical (low, high) orientation so
+    each triangle a<b<c is found exactly once via the wedge join
+    (a,b)⋈(b,c) closed by (a,c) — no post-hoc dedup by 6 permutations.
+
+    Scale shape: the ordered-edge convention is THE standard trick that
+    keeps distributed triangle counting tractable; the wedge join's skew
+    (high-degree nodes fan out quadratically) is what the weight floor
+    and AQE skew-split absorb. Community detection preprocessing at
+    100 TB looks exactly like this."""
+    s = _edges(spark, sf_dir).filter(F.col("w") >= _TRI_MIN_W).select("pa", "pb")
+    e1 = s.alias("e1")
+    e2 = s.alias("e2")
+    e3 = s.alias("e3")
+    wedges = e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+    )
+    n_edges = s.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+q_triangle_count.__doc__ = q_triangle_count.__doc__.format(w=_TRI_MIN_W)

@@ -1,0 +1,85 @@
+"""Unit tests for the graph query family (plans/graph_queries.py):
+integer PageRank against a hand-computed fixture, canonical-orientation
+triangle counting, and the degree/edge-build invariants."""
+
+import pyspark.sql.functions as F
+
+from create_proposals_using_vector_db_public_spark.plans.graph_queries import (
+    _PR_ITERS,
+    _PR_SCALE,
+    _undirected,
+)
+
+
+def _pagerank_ref(edges, iters=_PR_ITERS):
+    # replicate the scaled-integer recurrence in plain Python
+    und = edges + [(b, a) for a, b in edges]
+    nodes = sorted({n for e in und for n in e})
+    deg = {n: sum(1 for s, _ in und if s == n) for n in nodes}
+    r = {n: _PR_SCALE for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d in und:
+            contrib[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * contrib[n]) // 100 for n in nodes}
+    return r
+
+
+def test_integer_pagerank_matches_reference_loop(spark):
+    # path graph 1-2-3-4 plus a hub 2-5: asymmetric enough to rank
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5)]
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    u = _undirected(df.withColumn("w", F.lit(1)))
+    d = u.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    state = d.select(
+        F.col("src").alias("node"), "deg",
+        F.lit(_PR_SCALE).cast("bigint").alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            u.join(state, u.src == state.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        state = d.join(contrib, d.src == contrib.dst, "left").select(
+            F.col("src").alias("node"), "deg",
+            (F.lit(150_000) + F.expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .cast("bigint").alias("r"),
+        )
+    got = {row.node: row.r for row in state.collect()}
+    assert got == _pagerank_ref(edges)
+    # the degree-2 bridge node outranks the leaves
+    assert got[2] == max(got.values())
+
+
+def test_triangle_canonical_orientation_counts_once(spark):
+    # K4 has exactly 4 triangles; edges stored once as (low, high)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    s = spark.createDataFrame(edges, "pa long, pb long")
+    e1, e2, e3 = s.alias("e1"), s.alias("e2"), s.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .count()
+    )
+    assert tri == 4
+
+
+def test_undirected_degree_symmetry(spark):
+    edges = [(1, 2), (1, 3)]
+    df = spark.createDataFrame(edges, "pa long, pb long").withColumn(
+        "w", F.lit(1)
+    )
+    deg = {
+        r.src: r.degree
+        for r in _undirected(df)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .collect()
+    }
+    assert deg == {1: 2, 2: 1, 3: 1}
