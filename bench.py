@@ -46,6 +46,11 @@ HEADLINE = [
     "q_bloom_join",       # bitmap runtime join filter
     "q_e2e_corpus",       # scrub→dedup→chunk→embed composition
     "q_ann_pq",           # product-quantization ADC search
+    # round-2 batch 4
+    "q_join_multiway",    # TPC-H Q5 six-table star join
+    "q_pagerank",         # iterative same-key join (3 rounds, integer ranks)
+    "q_cdc_apply",        # keyed window, last-writer-wins
+    "q_profile",          # one-scan multi-distinct profiling
 ]
 
 

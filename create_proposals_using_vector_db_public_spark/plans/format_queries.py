@@ -88,3 +88,60 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- schema evolution (mergeSchema read) -------------------------------------
+#
+# The lakehouse reality: files written before a column existed live next
+# to files written after. A v1 partition (doc_id, lang) and a v2
+# partition (doc_id, lang, n_chars) must read as ONE table with the new
+# column null for old files — Spark's mergeSchema. The oracle replays the
+# evolution as a typed UNION.
+
+_EVOLUTION_ORACLE = """
+WITH merged AS (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id < 250
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 250
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - count(n_chars) AS BIGINT) AS n_missing,
+       CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+FROM merged GROUP BY lang
+"""
+
+
+@query("q_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two generations of the documents table (v1 lacks n_chars),
+    read both directories as one dataset with mergeSchema=true, and
+    aggregate across the evolved schema — old rows surface the added
+    column as null.
+
+    Scale notes: mergeSchema's cost is footer-reads across files (a
+    metadata operation, not a data scan); production tables pin the
+    merged schema in a catalog instead of re-merging per query — the
+    explicit-schema read path q_format_roundtrip uses. Aggregates follow
+    the exact-integer discipline."""
+    d = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    d.filter(F.col("doc_id") < 250).select("doc_id", "lang").write.parquet(
+        f"{base}/gen=1"
+    )
+    d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "lang", "n_chars"
+    ).write.parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1", f"{base}/gen=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count("n_chars")).alias("n_missing"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )

@@ -222,3 +222,79 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compacted.agg(
         F.count(F.lit(1)).alias("n_rows"), checksum.alias("content_sum")
     )
+
+
+# --- snapshot diff (table versioning) ----------------------------------------
+#
+# Given two versions of a keyed table, classify every key as added /
+# deleted / changed / unchanged — the audit query behind time travel and
+# CDC validation. The "new" snapshot is derived deterministically from
+# orders: keys %89==0 deleted, %97==0 repriced (+10), a shifted copy of
+# %83==0 keys added.
+
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+), new AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 97 = 0 THEN 1000 ELSE 0 END AS p
+  FROM orders WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000 AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders WHERE o_orderkey % 83 = 0
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys FROM (
+  SELECT CASE
+           WHEN o.k IS NULL THEN 'added'
+           WHEN n.k IS NULL THEN 'deleted'
+           WHEN o.p <> n.p THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM old o FULL JOIN new n ON o.k = n.k
+) GROUP BY change_type
+"""
+
+
+@query("q_table_diff", oracle=_DIFF_ORACLE)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: full outer join two table versions on the key and
+    classify each row as added / deleted / changed / unchanged, counted
+    per class. Values compare as scaled integers (cents) so 'changed' is
+    exact, never a float-noise artifact.
+
+    Scale shape: one co-partitioned full outer join on the key (both
+    sides shuffle once; at 100 TB both snapshots are bucketed by key and
+    the shuffle disappears), then a tiny class aggregation. The 'changed'
+    set feeding into q_cdc_apply / q_upsert is how incremental pipelines
+    avoid reprocessing the unchanged 99%."""
+    o = load_table(spark, sf_dir, "orders")
+    p100 = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.select(F.col("o_orderkey").alias("k"), p100.alias("p"))
+    new = (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                p100
+                + F.when(F.col("o_orderkey") % 97 == 0, 1000).otherwise(0)
+            ).alias("p"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 83 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+                p100.alias("p"),
+            )
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full"
+    )
+    cls = F.when(F.col("o.k").isNull(), "added").when(
+        F.col("n.k").isNull(), "deleted"
+    ).when(F.col("o.p") != F.col("n.p"), "changed").otherwise("unchanged")
+    return j.select(cls.alias("change_type")).groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
