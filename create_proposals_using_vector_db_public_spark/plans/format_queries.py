@@ -21,12 +21,17 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..sources import load_table
 from .registry import query
+
+_FMT_WORDS = (
+    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
+    "w -> trim(w)), w -> length(w) > 0)"
+)
 
 _FORMATS = ("csv", "json", "orc")
 
@@ -144,4 +149,81 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.count("n_chars")).alias("n_missing"),
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )
+
+
+# --- reference pickle store round-trip ---------------------------------------
+#
+# The reference persists its whole DB as doc_data.pkl — four row-aligned
+# parallel lists (app.py:161-168). sources/pickle_store.py implements that
+# layout as a Spark 4 Python Data Source; this query proves the full
+# export → import cycle: build reference-shaped chunks from documents,
+# write the pickle, read it back through spark.read.format("refpickle"),
+# and checksum every column. The oracle recomputes the checksums from the
+# source table, so a row dropped, reordered into a different positional
+# id, or an embedding component corrupted in float32 transport all fail
+# the hash.
+
+_PICKLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source AS file_name,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              - 1 AS INTEGER) AS paragraph_idx,
+         {_FMT_WORDS} AS words
+  FROM documents WHERE doc_id < 100
+), feat AS (
+  SELECT file_name, paragraph_idx,
+         len(words) AS n_tok,
+         len(list_filter(words,
+             t -> substr(md5(t), 1, 1) = '0')) AS d0,
+         coalesce(array_to_string(words[1:8], ' '), '') AS kw_join
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(paragraph_idx) AS BIGINT) AS sum_idx,
+       CAST(sum(n_tok) AS BIGINT) AS emb_sum,
+       CAST(sum(d0) AS BIGINT) AS emb_d0,
+       CAST(sum({H.d_h64("kw_join", nchars=12)}) AS BIGINT) AS kw_sum
+FROM feat
+"""
+
+
+@query("q_pickle_roundtrip", oracle=_PICKLE_ORACLE)
+def q_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the reference's native doc_data.pkl: export
+    reference-shaped chunks (stub embeddings, first-8-token keywords) with
+    pickle_store.write_doc_data, re-read via the registered refpickle
+    data source, and aggregate exact checksums over every transported
+    column. Embedding components are token-bucket counts — small integers
+    that survive the float32 store losslessly, so even the vector column
+    is value-hash exact."""
+    from ..functions import text as T
+    from ..sources import pickle_store
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    chunks = (
+        T.stub_embeddings_df(d, "doc_id", "text")
+        .join(d.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            F.col("source").alias("file_name"),
+            (F.row_number().over(w) - 1).cast("int").alias("paragraph_idx"),
+            F.col("emb").cast("array<float>").alias("embedding"),
+            T.keyword_fallback("text", 8).alias("keywords"),
+        )
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pickle_{os.path.basename(sf_dir.rstrip('/'))}",
+        "doc_data.pkl",
+    )
+    pickle_store.write_doc_data(chunks, path)
+    back = pickle_store.read_doc_data(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("paragraph_idx").cast("bigint").alias("sum_idx"),
+        F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x))
+        .cast("bigint").alias("emb_sum"),
+        F.sum(F.element_at("embedding", 1)).cast("bigint").alias("emb_d0"),
+        F.sum(H.h64(F.array_join("keywords", " "), nchars=12)).alias("kw_sum"),
     )

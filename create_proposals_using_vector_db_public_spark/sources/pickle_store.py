@@ -1,0 +1,155 @@
+"""The reference's native persistence format as a first-class Spark
+source/sink.
+
+The reference stores its whole "database" as a pickled dict of four
+row-aligned parallel lists (``app.py:161-168`` / ``app_callapi.py:156-159``):
+
+    {"names": list[str], "paragraphs": list[(file_name, paragraph_idx)],
+     "embeddings": list[np.float32[dim]], "keywords": list[list[str]]}
+
+(The companion ``vector_index.faiss`` file holds the same embedding matrix
+again; the pickle alone reconstructs it, so this module reads/writes only
+``doc_data.pkl`` — a user of the reference can point this engine at their
+existing store and get a DataFrame back.)
+
+Read path: a Spark 4 Python Data Source (``spark.dataSource.register`` +
+``spark.read.format("refpickle").load(path)``). One store file is one
+input partition — the format is inherently single-blob (the reference
+never sharded it); at 100 TB the import job reads many store files, one
+partition each, via the multi-path load. FAISS row identity (the implicit
+positional join key, SURVEY §1.2 / R20) is materialized as an explicit
+``row_id`` column so downstream queries never depend on physical order.
+
+Write path: per-partition pickle shards + a driver-side commit that
+splices them into the reference's exact dict layout in canonical
+(file_name, paragraph_idx) order — deterministic regardless of
+partitioning, and byte-compatible with what ``pickle.load`` at
+``app_callapi.py:58-63`` expects.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+DOC_DATA_SCHEMA = (
+    "row_id bigint, file_name string, paragraph_idx int, "
+    "embedding array<float>, keywords array<string>"
+)
+
+
+@dataclass
+class _StorePartition(InputPartition):
+    path: str
+
+
+class RefPickleReader(DataSourceReader):
+    def __init__(self, options):
+        paths = options.get("path")
+        if not paths:
+            raise ValueError("refpickle: a load(path) is required")
+        self._paths = [paths] if isinstance(paths, str) else list(paths)
+
+    def partitions(self):
+        return [_StorePartition(p) for p in self._paths]
+
+    def read(self, partition):
+        with open(partition.path, "rb") as f:
+            store = pickle.load(f)
+        paragraphs = store["paragraphs"]
+        embeddings = store["embeddings"]
+        keywords = store["keywords"]
+        for row_id, (fp, emb, kws) in enumerate(
+            zip(paragraphs, embeddings, keywords)
+        ):
+            file_name, paragraph_idx = fp
+            yield (
+                row_id,
+                file_name,
+                int(paragraph_idx),
+                [float(x) for x in emb],
+                list(kws),
+            )
+
+
+class RefPickleDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "refpickle"
+
+    def schema(self) -> str:
+        return DOC_DATA_SCHEMA
+
+    def reader(self, schema: StructType) -> RefPickleReader:
+        return RefPickleReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotent registration of the refpickle format."""
+    spark.dataSource.register(RefPickleDataSource)
+
+
+def read_doc_data(spark: SparkSession, path: str) -> DataFrame:
+    register(spark)
+    return spark.read.format("refpickle").load(path)
+
+
+def write_doc_data(df: DataFrame, path: str) -> int:
+    """Export a chunks DataFrame to the reference's doc_data.pkl layout.
+
+    Executors each pickle their partition to a shard (no single-collect
+    bottleneck on the wide embedding column); the driver commit splices
+    shards in canonical (file_name, paragraph_idx) order so the parallel
+    lists — and therefore the implicit FAISS row ids — are deterministic.
+    Returns the row count. The store format itself is driver-merged by
+    design: it is the reference's own single-blob layout, used for
+    interop export, not as the engine's native table format (that is
+    parquet)."""
+    cols = ["file_name", "paragraph_idx", "embedding", "keywords"]
+    shard_dir = os.path.join(
+        tempfile.gettempdir(), f"refpickle_shards_{uuid.uuid4().hex}"
+    )
+    os.makedirs(shard_dir, exist_ok=True)
+
+    def dump_partition(idx, it):
+        rows = [
+            (r["file_name"], int(r["paragraph_idx"]),
+             [float(x) for x in r["embedding"]], list(r["keywords"]))
+            for r in it
+        ]
+        shard = os.path.join(shard_dir, f"shard-{idx:05d}.pkl")
+        with open(shard, "wb") as f:
+            pickle.dump(rows, f)
+        yield (idx, shard, len(rows))
+
+    shards = (
+        df.select(*cols).rdd.mapPartitionsWithIndex(dump_partition).collect()
+    )
+    merged = []
+    for _, shard, _n in sorted(shards):
+        with open(shard, "rb") as f:
+            merged.extend(pickle.load(f))
+        os.remove(shard)
+    os.rmdir(shard_dir)
+    merged.sort(key=lambda r: (r[0], r[1]))
+    store = {
+        "names": [r[0] for r in merged],
+        "paragraphs": [(r[0], r[1]) for r in merged],
+        "embeddings": [r[2] for r in merged],
+        "keywords": [r[3] for r in merged],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(store, f)
+    return len(merged)

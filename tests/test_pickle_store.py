@@ -1,0 +1,80 @@
+"""Unit tests for sources/pickle_store.py — interop with the reference's
+doc_data.pkl layout (app.py:161-168): the written store must load as the
+exact dict of four row-aligned parallel lists the reference pickles, and
+a hand-written reference-style store must read back as a DataFrame with
+positional row ids materialized."""
+
+import os
+import pickle
+import tempfile
+
+from create_proposals_using_vector_db_public_spark.sources import pickle_store
+
+
+def _tmp(name):
+    return os.path.join(tempfile.mkdtemp(prefix="pickle_store_test_"), name)
+
+
+def test_write_produces_reference_dict_layout(spark):
+    rows = [
+        ("b.docx", 0, [1.0, 2.0], ["kw1"]),
+        ("a.docx", 1, [3.0, 4.0], ["kw2", "kw3"]),
+        ("a.docx", 0, [5.0, 6.0], []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "file_name string, paragraph_idx int, "
+        "embedding array<float>, keywords array<string>",
+    ).repartition(3)  # order must not depend on partitioning
+    path = _tmp("doc_data.pkl")
+    n = pickle_store.write_doc_data(df, path)
+    assert n == 3
+    with open(path, "rb") as f:
+        store = pickle.load(f)
+    # the reference's exact keys (app.py:163-168)
+    assert set(store) == {"names", "paragraphs", "embeddings", "keywords"}
+    # canonical (file_name, paragraph_idx) order -> deterministic row ids
+    assert store["paragraphs"] == [
+        ("a.docx", 0), ("a.docx", 1), ("b.docx", 0)
+    ]
+    assert store["names"] == ["a.docx", "a.docx", "b.docx"]
+    assert store["embeddings"][0] == [5.0, 6.0]
+    assert store["keywords"] == [[], ["kw2", "kw3"], ["kw1"]]
+
+
+def test_read_reference_style_store(spark):
+    # a store pickled the way the reference itself would
+    store = {
+        "names": ["r1.docx", "r1.docx"],
+        "paragraphs": [("r1.docx", 0), ("r1.docx", 1)],
+        "embeddings": [[0.5, 1.5], [2.5, 3.5]],
+        "keywords": [["alpha"], ["beta", "gamma"]],
+    }
+    path = _tmp("doc_data.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(store, f)
+    df = pickle_store.read_doc_data(spark, path)
+    got = sorted(df.collect(), key=lambda r: r.row_id)
+    assert [r.row_id for r in got] == [0, 1]  # FAISS positional identity
+    assert got[1].paragraph_idx == 1
+    assert got[1].embedding == [2.5, 3.5]
+    assert got[1].keywords == ["beta", "gamma"]
+
+
+def test_roundtrip_identity(spark):
+    rows = [(f"f{i % 3}.docx", i // 3, [float(i)], [f"k{i}"]) for i in range(9)]
+    df = spark.createDataFrame(
+        rows,
+        "file_name string, paragraph_idx int, "
+        "embedding array<float>, keywords array<string>",
+    )
+    path = _tmp("doc_data.pkl")
+    pickle_store.write_doc_data(df, path)
+    back = pickle_store.read_doc_data(spark, path)
+    assert back.count() == 9
+    orig = {(r[0], r[1], tuple(r[2]), tuple(r[3])) for r in rows}
+    got = {
+        (r.file_name, r.paragraph_idx, tuple(r.embedding), tuple(r.keywords))
+        for r in back.collect()
+    }
+    assert got == orig
