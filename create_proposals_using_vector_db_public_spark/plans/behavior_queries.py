@@ -166,3 +166,55 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- sequence transition mining ----------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, CAST(c AS BIGINT) AS n_transitions,
+       round(c / sum(c) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM pairs
+"""
+
+
+@query("q_transitions", oracle=_TRANSITIONS_ORACLE)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lag() pairs consecutive events (ties broken by event_id so
+    sequences are deterministic), then global (prev → next) counts and
+    row-normalized probabilities — the session-flow model behind
+    next-action prediction and funnel drop-off analysis.
+
+    Scale shape: one shuffle keys the stream by user for the lag window;
+    the pair count is a partial+final aggregate over |event types|² rows;
+    the probability normalization windows over that tiny matrix. The
+    probability is one bigint/bigint division — IEEE-identical on both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p_transition"),
+    )

@@ -194,3 +194,58 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.word_idx, t.word, t.n_chars "
         "FROM __udtf_docs d, LATERAL token_emit(d.text) t"
     )
+
+
+_GROUPNORM_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+), g AS (
+  SELECT event_type, min(v100) AS lo, max(v100) AS hi FROM e GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN g.hi = g.lo THEN 0.0
+                  ELSE (e.v100 - g.lo) / (g.hi - g.lo) END, 6) AS norm
+FROM e JOIN g USING (event_type)
+"""
+
+
+@query("q_udf_groupnorm", oracle=_GROUPNORM_ORACLE)
+def q_udf_groupnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas — the remaining piece of the pandas UDF
+    surface (scalar pandas_udf: q_udf_embed; grouped-agg UDAF:
+    q_udf_trimmed_mean; mapInPandas: q_multimodal_features; stateful:
+    q_stream_stateful). Per-group min-max normalization: each event_type
+    group arrives as ONE pandas DataFrame in a Python worker, is
+    normalized vectorized, and streams back out.
+
+    The arithmetic is (int - int) / (int - int): identical IEEE division
+    on both engines, so even through the Arrow transfer the result is
+    value-hash exact. Scale note: applyInPandas materializes each group
+    in one worker's memory — correct here because |event_type| groups are
+    few and bounded; for unbounded groups the broadcast-join form of this
+    query (q_anomaly's shape) is the scalable variant."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["v100"].min(), pdf["v100"].max()
+        span = hi - lo
+        norm = (pdf["v100"] - lo) / span if span else pdf["v100"] * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "norm": norm.round(6),
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        norm, schema="event_id bigint, event_type string, norm double"
+    )
