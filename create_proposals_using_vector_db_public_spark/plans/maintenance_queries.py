@@ -298,3 +298,62 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(cls.alias("change_type")).groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_keys")
     )
+
+
+# --- incremental view maintenance (join) -------------------------------------
+#
+# The delta-join identity behind every IVM system:
+#     (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB)
+#   = A_old⋈B_old  ∪  ΔA⋈B_old  ∪  A_old⋈ΔB  ∪  ΔA⋈ΔB
+# The first term is the already-materialized view (never recomputed);
+# the three delta terms are what an update pays. The oracle computes the
+# FULL join from scratch — equality of the composed incremental result
+# with the full recompute IS the correctness statement.
+
+_IVM_ORACLE = """
+SELECT c.c_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@query("q_ivm_join", oracle=_IVM_ORACLE)
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join view with BOTH sides changing:
+    compose the materialized old-old term with the three delta terms
+    (ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB) and aggregate — provably equal to the
+    full orders⋈customer recompute, which is exactly what the oracle
+    runs. Deltas are deterministic slices (orders key %101, customers
+    key %97) standing in for a day's arrivals.
+
+    Scale shape: the update cost is |Δ|-proportional — each delta term
+    joins a small delta against one stored side (broadcast when |Δ| is
+    small, as marked), and the old-old term is read from the
+    materialization, not recomputed. At 100 TB this is the difference
+    between touching a day and touching ten years. The additive aggregate
+    then combines with q_incremental_agg's partial-merge pattern."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_old = o.filter(F.col("o_orderkey") % 101 != 0)
+    d_o = o.filter(F.col("o_orderkey") % 101 == 0)
+    c_old = c.filter(F.col("c_custkey") % 97 != 0)
+    d_c = c.filter(F.col("c_custkey") % 97 == 0)
+    terms = [
+        o_old.join(c_old, o_old.o_custkey == c_old.c_custkey),
+        d_o.join(c_old, d_o.o_custkey == c_old.c_custkey),
+        o_old.join(F.broadcast(d_c), o_old.o_custkey == d_c.c_custkey),
+        d_o.join(F.broadcast(d_c), d_o.o_custkey == d_c.c_custkey),
+    ]
+    view = terms[0]
+    for t in terms[1:]:
+        view = view.unionByName(t)
+    return view.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("p").cast("double"), 6).alias("total_price"),
+    )
