@@ -142,8 +142,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), "deg", F.lit(_PR_SCALE).cast("bigint").alias("r")
     )
     for _ in range(_PR_ITERS):
+        # rank state is |nodes|-sized — broadcast it so the (much larger)
+        # edge table never re-shuffles; the only exchange per iteration
+        # is the partial+final contribution sum keyed by dst
         contrib = (
-            u.join(state, u.src == state.node)
+            u.join(F.broadcast(state), u.src == state.node)
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
