@@ -67,7 +67,7 @@ _PRIORITY = [
     "q_join_multiway", "q_ewma_smooth",
     "q_graph_degree", "q_pagerank", "q_triangle_count",
     "q_schema_evolution", "q_table_diff", "q_pickle_roundtrip",
-    "q_udf_groupnorm", "q_transitions", "q_ivm_join",
+    "q_udf_groupnorm", "q_transitions", "q_ivm_join", "q_window_suite",
     "q_split_sections", "q_format_roundtrip", "q_quality_score", "q_lang_id", "q_comma_parse", "q_zorder_layout", "q_salted_join", "q_heavy_hitters", "q_centroid_label",
     "q_rare_terms", "q_histogram", "q_approx_percentile", "q_grouping_sets",
     # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called

@@ -885,3 +885,44 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- ranking-function suite --------------------------------------------------
+
+_WINDOW_SUITE_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(rank() OVER w AS BIGINT) AS price_rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+       round(percent_rank() OVER w, 6) AS price_pct_rank,
+       round(cume_dist() OVER w, 6) AS price_cume_dist,
+       round(first_value(o_totalprice) OVER w, 2) AS group_max_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+@query("q_window_suite", oracle=_WINDOW_SUITE_ORACLE)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking functions in one pass: rank / dense_rank /
+    percent_rank / cume_dist / first_value sharing a single window spec
+    (completes the surface next to row_number, ntile, lag/lead, and
+    running/RANGE frames). One shuffle keyed by the partition column;
+    percent_rank and cume_dist are integer-ratio divisions — IEEE-exact
+    on both engines. Ties broken by the key so every rank is
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("group_max_price"),
+    )
