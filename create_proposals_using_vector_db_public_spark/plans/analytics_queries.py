@@ -16,12 +16,10 @@ from pyspark.sql.window import Window
 from ..functions import text as T
 from ..functions.hashing import d_h64, h64
 from ..sources import load_table
+from .duck import d_words
 from .registry import query
 
-_WORDS = (
-    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
-    "w -> trim(w)), w -> length(w) > 0)"
-)
+_WORDS = d_words()
 
 
 # --- deterministic sampling --------------------------------------------------

@@ -21,13 +21,11 @@ from ..functions import hashing as H
 from ..functions import text as T
 from ..functions.hashing import d_h64
 from ..sources import load_table
+from .duck import d_words
 from .registry import query
 
 # DuckDB mirror of functions.text.tokens (same as pipeline_queries._WORDS_SQL).
-_WORDS_SQL = (
-    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
-    "w -> trim(w)), w -> length(w) > 0)"
-)
+_WORDS_SQL = d_words()
 
 # --- benchmark decontamination -----------------------------------------------
 

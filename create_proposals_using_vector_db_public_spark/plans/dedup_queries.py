@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..sources import load_table
-from .duck import d_cosine, dd
+from .duck import d_cosine, dd, d_words
 from .registry import query
 
 NEAR_SUFFIX = " extra appended tail"
@@ -60,10 +60,7 @@ corpus AS (
 """
 
 # DuckDB fragments mirroring functions.text exactly
-_WORDS = (
-    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
-    "w -> trim(w)), w -> length(w) > 0)"
-)
+_WORDS = d_words()
 _SHINGLES = (
     "CASE WHEN len(words) >= 3 THEN "
     "list_transform(range(1, len(words) - 1), "

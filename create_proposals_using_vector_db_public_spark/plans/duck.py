@@ -44,3 +44,14 @@ def d_cosine(a: str, b: str) -> str:
         f"CASE WHEN {d_norm(a)} * {d_norm(b)} <> 0.0 "
         f"THEN {d_dot(a, b)} / ({d_norm(a)} * {d_norm(b)}) END"
     )
+
+
+def d_words(col: str = "text") -> str:
+    """Whitespace tokens, trimmed, empties dropped — the DuckDB mirror of
+    ``functions.text.tokens``. Every plan module's oracle must use THIS
+    builder (not a local copy) so the tokenizer can never drift from the
+    Spark side in one family but not another."""
+    return (
+        f"list_filter(list_transform(string_split_regex({col}, '\\s+'), "
+        "w -> trim(w)), w -> length(w) > 0)"
+    )

@@ -26,12 +26,10 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..sources import load_table
+from .duck import d_words
 from .registry import query
 
-_FMT_WORDS = (
-    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
-    "w -> trim(w)), w -> length(w) > 0)"
-)
+_FMT_WORDS = d_words()
 
 _FORMATS = ("csv", "json", "orc")
 

@@ -30,6 +30,7 @@ from .registry import query
 _PR_SCALE = 1_000_000
 _PR_ITERS = 3
 _TRI_MIN_W = 2
+_PR_CACHE: dict = {}
 
 _EDGES_SQL = """
 io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -137,6 +138,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and cached; iterations reuse it."""
     edges = _edges(spark, sf_dir)
     u = _undirected(edges).cache()
+    # scope the cache: evict the previous invocation's edge list so long
+    # multi-query runs hold at most one pagerank cache entry
+    prev = _PR_CACHE.pop("u", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _PR_CACHE["u"] = u
     d = u.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     state = d.select(
         F.col("src").alias("node"), "deg", F.lit(_PR_SCALE).cast("bigint").alias("r")

@@ -32,12 +32,10 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..functions import vectors as V
 from ..sources import load_table
+from .duck import d_words
 from .registry import query
 
-_WORDS = (
-    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
-    "w -> trim(w)), w -> length(w) > 0)"
-)
+_WORDS = d_words()
 
 # --- fixed token-window chunking --------------------------------------------
 

@@ -179,8 +179,8 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPACT_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CAST(o_orderkey * 2654435761 % 2147483647 AS BIGINT))
-            AS BIGINT) AS content_sum
+       CAST(sum(CAST(o_orderkey % 2147483647 * 2654435761 % 2147483647
+                     AS BIGINT)) AS BIGINT) AS content_sum
 FROM orders WHERE o_orderstatus = 'O'
 """
 
@@ -215,8 +215,11 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compaction: no shuffle — AQE-style partition merge down to 2 files
     spark.read.parquet(small).coalesce(2).write.mode("overwrite").parquet(big)
     compacted = spark.read.parquet(big)
+    # mod BEFORE the multiply: keeps the scaled product under 2^63 at any
+    # orderkey magnitude (the raw multiply overflows bigint past SF ~580)
     checksum = F.sum(
-        (F.col("o_orderkey") * F.lit(2654435761) % F.lit(2147483647))
+        (F.col("o_orderkey") % F.lit(2147483647) * F.lit(2654435761)
+         % F.lit(2147483647))
         .cast("bigint")
     ).cast("bigint")
     return compacted.agg(

@@ -22,7 +22,7 @@ from ..operators import dedup as D
 from ..operators import knn as K
 from ..sources import load_table
 from .dedup_queries import _CORPUS_SQL, _corpus
-from .duck import d_cosine, d_l2, dd
+from .duck import d_cosine, d_l2, dd, d_words
 from .registry import query
 from .vector_queries import _query_vec
 
@@ -80,10 +80,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- repetition ratio (Gopher-style quality rule) ----------------------------
 
-_WORDS_SQL = (
-    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
-    "w -> trim(w)), w -> length(w) > 0)"
-)
+_WORDS_SQL = d_words()
 
 _REPETITION_ORACLE = f"""
 WITH toks AS (

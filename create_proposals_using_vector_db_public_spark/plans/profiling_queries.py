@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..sources import load_table
+from .duck import d_words
 from .registry import query
 
 # --- column profiling (ANALYZE TABLE) ---------------------------------------
@@ -192,10 +193,7 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VOCAB_N = 100
 
-_VOCAB_WORDS_SQL = (
-    "list_filter(list_transform(string_split_regex(lower(text), '\\s+'), "
-    "w -> trim(w)), w -> length(w) > 0)"
-)
+_VOCAB_WORDS_SQL = d_words("lower(text)")
 
 _VOCAB_ORACLE = f"""
 WITH toks AS (

@@ -226,6 +226,7 @@ def q_udf_groupnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one worker's memory — correct here because |event_type| groups are
     few and bounded; for unbounded groups the broadcast-join form of this
     query (q_anomaly's shape) is the scalable variant."""
+    import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events").select(
@@ -238,11 +239,14 @@ def q_udf_groupnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = pdf["v100"].min(), pdf["v100"].max()
         span = hi - lo
         norm = (pdf["v100"] - lo) / span if span else pdf["v100"] * 0.0
+        # round half AWAY from zero (values are >= 0) to match SQL round();
+        # pandas .round() is half-to-even and diverges on exact 6dp ties
+        # like 1/128
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "norm": norm.round(6),
+                "norm": np.floor(norm * 1e6 + 0.5) / 1e6,
             }
         )
 

@@ -20,19 +20,19 @@ partition each, via the multi-path load. FAISS row identity (the implicit
 positional join key, SURVEY §1.2 / R20) is materialized as an explicit
 ``row_id`` column so downstream queries never depend on physical order.
 
-Write path: per-partition pickle shards + a driver-side commit that
-splices them into the reference's exact dict layout in canonical
+Write path: rows stream to the driver via ``toLocalIterator`` and are
+spliced into the reference's exact dict layout in canonical
 (file_name, paragraph_idx) order — deterministic regardless of
 partitioning, and byte-compatible with what ``pickle.load`` at
-``app_callapi.py:58-63`` expects.
+``app_callapi.py:58-63`` expects. Driver-merged by necessity: the store
+is one pickle blob, so it must be assembled whole wherever it is
+written.
 """
 
 from __future__ import annotations
 
 import os
 import pickle
-import tempfile
-import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +70,19 @@ class RefPickleReader(DataSourceReader):
         paragraphs = store["paragraphs"]
         embeddings = store["embeddings"]
         keywords = store["keywords"]
+        # fail loudly on a truncated/misaligned store — the parallel
+        # lists ARE the integrity contract (a silent zip() would drop the
+        # tail rows, exactly the corruption this source must surface)
+        if not (
+            len(store["names"]) == len(paragraphs) == len(embeddings)
+            == len(keywords)
+        ):
+            raise ValueError(
+                f"refpickle: corrupt store {partition.path}: parallel list "
+                f"lengths differ (names={len(store['names'])}, "
+                f"paragraphs={len(paragraphs)}, "
+                f"embeddings={len(embeddings)}, keywords={len(keywords)})"
+            )
         for row_id, (fp, emb, kws) in enumerate(
             zip(paragraphs, embeddings, keywords)
         ):
@@ -108,40 +121,22 @@ def read_doc_data(spark: SparkSession, path: str) -> DataFrame:
 def write_doc_data(df: DataFrame, path: str) -> int:
     """Export a chunks DataFrame to the reference's doc_data.pkl layout.
 
-    Executors each pickle their partition to a shard (no single-collect
-    bottleneck on the wide embedding column); the driver commit splices
-    shards in canonical (file_name, paragraph_idx) order so the parallel
-    lists — and therefore the implicit FAISS row ids — are deterministic.
-    Returns the row count. The store format itself is driver-merged by
-    design: it is the reference's own single-blob layout, used for
-    interop export, not as the engine's native table format (that is
-    parquet)."""
+    The store is a single pickled blob (the reference's own design), so
+    the export is inherently driver-merged: rows stream to the driver
+    partition-by-partition via toLocalIterator (never more than one
+    partition buffered on top of the final store dict — which must fit in
+    driver memory regardless, because pickle.dump needs it whole), then
+    sort canonically on (file_name, paragraph_idx) so the parallel lists
+    — and therefore the implicit FAISS row ids — are deterministic under
+    any partitioning. Returns the row count. This path is interop
+    export at reference scale; the engine's native table format is
+    parquet."""
     cols = ["file_name", "paragraph_idx", "embedding", "keywords"]
-    shard_dir = os.path.join(
-        tempfile.gettempdir(), f"refpickle_shards_{uuid.uuid4().hex}"
-    )
-    os.makedirs(shard_dir, exist_ok=True)
-
-    def dump_partition(idx, it):
-        rows = [
-            (r["file_name"], int(r["paragraph_idx"]),
-             [float(x) for x in r["embedding"]], list(r["keywords"]))
-            for r in it
-        ]
-        shard = os.path.join(shard_dir, f"shard-{idx:05d}.pkl")
-        with open(shard, "wb") as f:
-            pickle.dump(rows, f)
-        yield (idx, shard, len(rows))
-
-    shards = (
-        df.select(*cols).rdd.mapPartitionsWithIndex(dump_partition).collect()
-    )
-    merged = []
-    for _, shard, _n in sorted(shards):
-        with open(shard, "rb") as f:
-            merged.extend(pickle.load(f))
-        os.remove(shard)
-    os.rmdir(shard_dir)
+    merged = [
+        (r["file_name"], int(r["paragraph_idx"]),
+         [float(x) for x in r["embedding"]], list(r["keywords"]))
+        for r in df.select(*cols).toLocalIterator()
+    ]
     merged.sort(key=lambda r: (r[0], r[1]))
     store = {
         "names": [r[0] for r in merged],

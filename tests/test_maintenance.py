@@ -5,6 +5,8 @@ superset safety, and the integer outlier-algebra identity."""
 
 import glob
 import math
+import os
+import tempfile
 
 import pyspark.sql.functions as F
 
@@ -17,8 +19,9 @@ SF = "/root/testdata/sf0.001"
 
 def test_compaction_reduces_file_count(spark):
     out = q_compaction(spark, SF).collect()[0]
-    small = glob.glob("/tmp/spark_graft_compact_sf0.001/small/*.parquet")
-    big = glob.glob("/tmp/spark_graft_compact_sf0.001/big/*.parquet")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_compact_sf0.001")
+    small = glob.glob(f"{base}/small/*.parquet")
+    big = glob.glob(f"{base}/big/*.parquet")
     assert len(small) > len(big), (len(small), len(big))
     assert len(big) <= 2
     # nothing lost or duplicated across the rewrite
