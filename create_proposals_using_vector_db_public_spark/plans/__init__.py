@@ -27,6 +27,7 @@ from . import (  # noqa: F401,E402
     profiling_queries,  # column profiling, outlier flagging, OOV, inverted search
     maintenance_queries,  # CDC apply, zone-map pruning, compaction
     graph_queries,      # co-order graph: degree, integer PageRank, triangles
+    subquery_queries,   # correlated-subquery decorrelation (Q4/Q17/Q20 shapes)
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
@@ -60,6 +61,10 @@ _PRIORITY = [
     # ---- window boundary: everything below still registers + is parity-
     # checked locally (tools/parity.py), but yields its driver slot to the
     # entries above when the harness caps at 50 ----
+    # round-2 batch 5: decorrelation suite, interval overlap, time rollup,
+    # CMS sketch, domain mixing
+    "q_exists_corr", "q_avg_subquery", "q_nested_in", "q_interval_overlap",
+    "q_time_rollup", "q_cms_heavy", "q_domain_mix",
     # round-2 batch 4 (registered after the 50-entry window; parity-checked
     # locally): profiling, maintenance, Q5 join, EWMA
     "q_profile", "q_anomaly", "q_vocab_coverage", "q_inverted_search",

@@ -322,3 +322,117 @@ def q_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")), 6
         ).alias("emb_l2"),
     )
+
+
+# --- domain mixing (source-weighted corpus resample) -------------------------
+
+# Target mix: weight 1 + (source_index mod 3) per source — a deterministic
+# non-uniform target so the resampler provably reshapes the distribution
+# (the fixture corpus itself is uniform across sources). The global
+# sampling budget is half the corpus.
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH weighted AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS avail,
+         1 + (CAST(substr(source, 4) AS BIGINT) % 3) AS w
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(avail) AS BIGINT) AS n_total,
+         CAST(sum(w) AS BIGINT) AS w_total
+  FROM weighted
+), quotas AS (
+  SELECT source, avail, w,
+         least(avail,
+               (n_total * {_MIX_BUDGET_NUM} * w) // ({_MIX_BUDGET_DEN} * w_total)
+         ) AS quota
+  FROM weighted CROSS JOIN totals
+), ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn
+  FROM documents d
+)
+SELECT q.source, q.w, q.avail, q.quota,
+       CAST(count(r.doc_id) AS BIGINT) AS kept,
+       CAST(coalesce(sum(r.n_chars), 0) AS BIGINT) AS kept_chars
+FROM quotas q
+LEFT JOIN ranked r ON r.source = q.source AND r.rn <= q.quota
+GROUP BY q.source, q.w, q.avail, q.quota
+"""
+
+
+@query("q_domain_mix", oracle=_DOMAIN_MIX_ORACLE)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: resample the corpus so each source's share matches a
+    target weight vector under a global budget — the pass that turns a
+    crawl-proportional corpus into the curated mix a training run actually
+    consumes (cf. the sampling-weight tables of public LLM corpora). Per
+    source, quota = min(available, budget·w/Σw) in pure integer arithmetic
+    (no float shares to round differently per engine), and the quota is
+    filled by the first `quota` rows in deterministic md5 order — a
+    reproducible, seed-stable sample.
+
+    Scale shape: the weight/quota table is |sources| rows (broadcast); the
+    rank is one window shuffle partitioned by source. A skew-heavy source
+    at 100 TB would switch the window to the two-phase hash-threshold
+    form (take hash < p·2^60, then trim the boundary bucket exactly) —
+    same semantics, no single-partition rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.groupBy("source").agg(
+        F.count("*").alias("avail")
+    ).withColumn(
+        "w", 1 + F.substring(F.col("source"), 4, 10).cast("bigint") % 3
+    )
+    totals = weighted.agg(
+        F.sum("avail").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    quotas = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "avail",
+        "w",
+        F.least(
+            F.col("avail"),
+            F.expr(
+                f"(n_total * {_MIX_BUDGET_NUM} * w) div "
+                f"({_MIX_BUDGET_DEN} * w_total)"
+            ),
+        ).alias("quota"),
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    kept = ranked.join(
+        F.broadcast(quotas.select("source", "quota")),
+        on="source",
+    ).filter(F.col("rn") <= F.col("quota"))
+    return (
+        quotas.join(
+            kept.groupBy("source").agg(
+                F.count("*").alias("kept"),
+                F.sum("n_chars").alias("kept_chars"),
+            ),
+            on="source",
+            how="left",
+        )
+        .select(
+            "source",
+            F.col("w").cast("bigint").alias("w"),
+            "avail",
+            F.col("quota").cast("bigint").alias("quota"),
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import d_h64, h64
+from ..functions.hashing import d_h64, h64, hash_mod
 from ..functions import vectors as V
 from ..sources import load_table
 from .duck import dd
@@ -378,4 +378,107 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("candidate") & ~F.col("hit")).cast("long")).alias(
             "n_false_positives"
         ),
+    )
+
+
+# --- count-min sketch heavy hitters -----------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64  # deliberately small so collisions (over-estimates) occur
+_CMS_TOPK = 20
+
+
+def _d_cms_bucket(key_sql: str) -> str:
+    """DuckDB mirror of hash_mod(key, WIDTH, seed=f"cms{d}") with the depth
+    taken from a joined column ``d.d`` — the seed prefix is built
+    dynamically as concat('scms', d, ':')."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('scms', CAST(d.d AS VARCHAR), "
+        f"':', {key_sql})), 1, 15)) AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH depths AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS d),
+keyed AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+cms AS (
+  SELECT d.d AS d, {_d_cms_bucket('k')} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM keyed CROSS JOIN depths d
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY 1
+  ORDER BY exact_cnt DESC, l_partkey ASC LIMIT {_CMS_TOPK}
+),
+est AS (
+  SELECT e.l_partkey, e.exact_cnt, min(c.cnt) AS cms_est
+  FROM exact e
+  CROSS JOIN depths d
+  JOIN cms c ON c.d = d.d
+  WHERE c.bucket = {_d_cms_bucket("CAST(e.l_partkey AS VARCHAR)")}
+  GROUP BY 1, 2
+)
+SELECT l_partkey, exact_cnt, cms_est,
+       cms_est >= exact_cnt AS is_sound
+FROM est
+"""
+
+
+@query("q_cms_heavy", oracle=_CMS_ORACLE)
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, checked against exact counts
+    for the top-20 keys. The sketch is depth×width = 4×64 counters — a
+    fixed-size summary that replaces the per-key distinct shuffle when the
+    key universe is huge: updates are partial-aggregated map-side into at
+    most 256 rows per partition regardless of input size, and the merged
+    sketch broadcasts for lookups. Hash functions are md5-derived
+    (functions.hashing) so Spark and DuckDB build bit-identical sketches;
+    the width is deliberately small so over-estimates actually occur and
+    the CMS soundness invariant (estimate ≥ true count, never under) is
+    exercised rather than vacuous. Integer-only output → hash-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    k = F.col("l_partkey").cast("string")
+
+    def buckets(key):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        hash_mod(key, _CMS_WIDTH, seed=f"cms{d}").alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        )
+
+    cms = (
+        li.select(buckets(k).alias("p"))
+        .select("p.d", "p.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc())
+        .limit(_CMS_TOPK)
+    )
+    cand = exact.select(
+        "l_partkey", "exact_cnt", buckets(k).alias("p")
+    ).select("l_partkey", "exact_cnt", "p.d", "p.bucket")
+    return (
+        cand.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("is_sound"),
+        )
     )

@@ -249,3 +249,135 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.round(num / den / 100, 6).alias("ewma"),
     )
+
+
+# --- interval-overlap join ---------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_A_LEN_US = 30 * 60_000_000  # error window: 30 min
+_B_LEN_US = 15 * 60_000_000  # purchase window: 15 min
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH a AS (
+  SELECT user_id, event_id AS a_id,
+         epoch_us(ts) AS a_start, epoch_us(ts) + {_A_LEN_US} AS a_end
+  FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT user_id, event_id AS b_id,
+         epoch_us(ts) AS b_start, epoch_us(ts) + {_B_LEN_US} AS b_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.a_id, b.b_id,
+       least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) AS overlap_us
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND a.a_start < b.b_end AND b.b_start < a.a_end
+"""
+
+
+@query("q_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: pairs of (error-window, purchase-window)
+    intervals that intersect for the same user, with the exact overlap in
+    integer µs. Without an equality key an overlap join degenerates to a
+    nested-loop cross product; here both sides explode their interval into
+    the fixed-width hour buckets it covers and hash-join on (user, bucket),
+    with the inequality pair as a residual filter. A pair intersecting in
+    several buckets is kept exactly once — in the bucket containing
+    greatest(a_start, b_start) — so no post-join dedup shuffle is needed.
+    Bucket fan-out is bounded by interval_len/bucket_width + 1 (≤2 here),
+    so the exploded size is a small constant factor of the input at any
+    scale; skewed users fall to AQE skew-join handling."""
+    e = load_table(spark, sf_dir, "events")
+
+    def windows(kind: str, length_us: int, id_alias: str, s: str, t: str):
+        return (
+            e.filter(F.col("event_type") == kind)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.col("ts_us").alias(s),
+                (F.col("ts_us") + length_us).alias(t),
+            )
+            .withColumn(
+                # integer `div`, never float division: a double quotient of
+                # a ~1e15 µs timestamp can round across the bucket boundary
+                "bucket",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{s} div {_HOUR_US}"),
+                        F.expr(f"({t} - 1) div {_HOUR_US}"),
+                    )
+                ),
+            )
+        )
+
+    a = windows("error", _A_LEN_US, "a_id", "a_start", "a_end")
+    b = windows("purchase", _B_LEN_US, "b_id", "b_start", "b_end")
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            # keep the pair only in its canonical bucket (no dedup pass)
+            & (
+                F.expr(f"greatest(a_start, b_start) div {_HOUR_US}")
+                == F.col("bucket")
+            )
+        )
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_us"),
+        )
+    )
+
+
+# --- time-hierarchy rollup (hypertable-style continuous aggregate) ----------
+
+_TIME_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS order_year,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS revenue,
+       CAST(grouping(date_trunc('year', o_orderdate))
+            + 2 * grouping(date_trunc('month', o_orderdate)) AS BIGINT)
+         AS grouping_lvl
+FROM orders
+GROUP BY ROLLUP (date_trunc('year', o_orderdate),
+                 date_trunc('month', o_orderdate))
+"""
+
+
+@query("q_time_rollup", oracle=_TIME_ROLLUP_ORACLE)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one pass produces month totals, year
+    subtotals, and the grand total (TimescaleDB's continuous-aggregate
+    hierarchy) via ROLLUP on (year, month). Partial aggregation means the
+    shuffle carries |months| × |partitions| rows regardless of table size;
+    revenue accumulates in exact decimals (the q_agg_basic discipline).
+    At 100 TB the same plan back-fills a materialized rollup table
+    incrementally — see q_incremental_agg for the delta-merge half."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.date_format(F.date_trunc("year", "o_orderdate"), "yyyy")
+    m = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    return (
+        o.select(y.alias("order_year"), m.alias("order_month"), "o_totalprice")
+        .rollup("order_year", "order_month")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("revenue"),
+            (
+                F.grouping("order_year") + F.lit(2) * F.grouping("order_month")
+            ).cast("bigint").alias("grouping_lvl"),
+        )
+    )
