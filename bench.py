@@ -51,6 +51,10 @@ HEADLINE = [
     "q_pagerank",         # iterative same-key join (3 rounds, integer ranks)
     "q_cdc_apply",        # keyed window, last-writer-wins
     "q_profile",          # one-scan multi-distinct profiling
+    # round-2 batch 5
+    "q_avg_subquery",     # decorrelated scalar subquery (Q17 shape)
+    "q_interval_overlap", # bucket-blocked interval join
+    "q_cms_heavy",        # count-min sketch build + probe
 ]
 
 

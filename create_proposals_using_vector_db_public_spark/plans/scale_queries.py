@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import d_h64, h64, hash_mod
+from ..functions.hashing import d_h64, h64
 from ..functions import vectors as V
 from ..sources import load_table
 from .duck import dd
@@ -388,28 +388,36 @@ _CMS_WIDTH = 64  # deliberately small so collisions (over-estimates) occur
 _CMS_TOPK = 20
 
 
-def _d_cms_bucket(key_sql: str) -> str:
-    """DuckDB mirror of hash_mod(key, WIDTH, seed=f"cms{d}") with the depth
-    taken from a joined column ``d.d`` — the seed prefix is built
-    dynamically as concat('scms', d, ':')."""
-    return (
-        f"CAST(concat('0x', substr(md5(concat('scms', CAST(d.d AS VARCHAR), "
-        f"':', {key_sql})), 1, 15)) AS BIGINT) % {_CMS_WIDTH}"
-    )
+# Hash family: ONE 60-bit md5-prefix integer per key (functions.hashing
+# h64 — a single base-16 parse per row), then depth d's bucket is the d-th
+# disjoint 6-bit slice: (raw >> 6d) & (width-1). Base-16 string parsing
+# (`conv`) measured 4× the cost of the rest of the sketch build when done
+# per (row, depth); integer shifts are ~free on both engines, and md5 bits
+# are uniform and independent across positions.
+_CMS_BITS = 6  # width = 2^6
+
+
+def _d_cms_bucket(raw_sql: str) -> str:
+    """DuckDB mirror of the depth-d bucket: d-th 6-bit slice of the 60-bit
+    md5-prefix integer (depth index from the joined ``d.d`` column)."""
+    return f"(({raw_sql} >> ({_CMS_BITS} * d.d)) & {_CMS_WIDTH - 1})"
 
 
 _CMS_ORACLE = f"""
 WITH depths AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS d),
-keyed AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+keyed AS (
+  SELECT {d_h64("CAST(l_partkey AS VARCHAR)")} AS raw FROM lineitem
+),
 cms AS (
-  SELECT d.d AS d, {_d_cms_bucket('k')} AS bucket,
+  SELECT d.d AS d, {_d_cms_bucket('raw')} AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
   FROM keyed CROSS JOIN depths d
   GROUP BY 1, 2
 ),
 exact AS (
-  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
-  FROM lineitem GROUP BY 1
+  SELECT l_partkey, {d_h64("CAST(l_partkey AS VARCHAR)")} AS raw,
+         CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY 1, 2
   ORDER BY exact_cnt DESC, l_partkey ASC LIMIT {_CMS_TOPK}
 ),
 est AS (
@@ -417,7 +425,7 @@ est AS (
   FROM exact e
   CROSS JOIN depths d
   JOIN cms c ON c.d = d.d
-  WHERE c.bucket = {_d_cms_bucket("CAST(e.l_partkey AS VARCHAR)")}
+  WHERE c.bucket = {_d_cms_bucket("e.raw")}
   GROUP BY 1, 2
 )
 SELECT l_partkey, exact_cnt, cms_est,
@@ -437,28 +445,33 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.hashing) so Spark and DuckDB build bit-identical sketches;
     the width is deliberately small so over-estimates actually occur and
     the CMS soundness invariant (estimate ≥ true count, never under) is
-    exercised rather than vacuous. Integer-only output → hash-exact."""
+    exercised rather than vacuous. Integer-only output → hash-exact.
+
+    The d bucket hashes per row are disjoint 6-bit slices of ONE 60-bit
+    md5-prefix integer, and the base-16 parse is materialized *below* the
+    explode so the plan runs it once per row — Catalyst's project-collapse
+    would otherwise inline it d times (the round-1 multi-derivation
+    lesson), and the parse measured 4× the rest of the sketch build."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     k = F.col("l_partkey").cast("string")
 
-    def buckets(key):
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        hash_mod(key, _CMS_WIDTH, seed=f"cms{d}").alias(
-                            "bucket"
-                        ),
-                    )
-                    for d in range(_CMS_DEPTH)
-                ]
-            )
-        )
+    def bucket_of(raw, d: int):
+        return F.shiftright(raw, _CMS_BITS * d).bitwiseAND(_CMS_WIDTH - 1)
 
     cms = (
-        li.select(buckets(k).alias("p"))
-        .select("p.d", "p.bucket")
+        li.select(h64(k).alias("raw"))
+        # explode AFTER hashing: Generate blocks project-collapse, so the
+        # base-16 parse runs once per input row, not once per (row, depth)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("d"),
+            "raw",
+        )
+        .select(
+            "d",
+            F.expr(
+                f"(raw >> ({_CMS_BITS} * d)) & {_CMS_WIDTH - 1}"
+            ).alias("bucket"),
+        )
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -468,8 +481,20 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc())
         .limit(_CMS_TOPK)
     )
+    raw = h64(k)
     cand = exact.select(
-        "l_partkey", "exact_cnt", buckets(k).alias("p")
+        "l_partkey",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), bucket_of(raw, d).alias("bucket")
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
     ).select("l_partkey", "exact_cnt", "p.d", "p.bucket")
     return (
         cand.join(F.broadcast(cms), ["d", "bucket"])
