@@ -48,21 +48,42 @@ u AS (
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected co-order edges (pa < pb) with co-occurrence weight."""
-    io = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    """Undirected co-order edges (pa < pb) with co-occurrence weight.
+
+    Declared as the basket-expansion plan, not a self-join: collect each
+    order's distinct part set (bounded — TPC-H orders hold ≤7 lineitems),
+    then explode the sorted in-array pair combinations. That is ONE
+    shuffle keyed by order plus the final (pa, pb) count, where the
+    equivalent io⋈io self-join costs a third exchange and re-materializes
+    the basket k² times through the join. Same output, same oracle
+    (the oracle keeps the textbook self-join formulation — proving the
+    rewrite)."""
+    io = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a = io.alias("a")
-    b = io.alias("b")
-    return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(
-            F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
+    baskets = io.groupBy("o").agg(
+        F.array_sort(F.collect_set("p")).alias("ps")
     )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "ps", i + F.lit(2), F.size("ps")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("pa"), y.alias("pb")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    return pairs.groupBy(
+        F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb")
+    ).agg(F.count(F.lit(1)).alias("w"))
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
