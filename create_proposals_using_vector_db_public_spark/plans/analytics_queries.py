@@ -510,3 +510,106 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --- closed-form OLS regression ----------------------------------------------
+
+# Same shared-text discipline as q_corr_stats: the moment sums are exact
+# decimals, the regression algebra is one identical IEEE-double formula on
+# both engines. slope is bound once in a subquery so intercept/r² reuse
+# the same computed value symbol-for-symbol.
+_OLS_FINAL_SQL = """
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round(slope, 6) + 0.0 AS slope,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
+       round(slope * slope
+             * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+             6) AS r2
+FROM (
+  SELECT *,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+  FROM {tbl}
+)
+"""
+
+_OLS_ORACLE = (
+    f"WITH moments AS ({_CORR_MOMENTS_SQL.format(tbl='lineitem')}) "
+    f"{_OLS_FINAL_SQL.format(tbl='moments')}"
+)
+
+
+@query("q_ols", oracle=_OLS_ORACLE)
+def q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear regression (price ~ quantity per returnflag):
+    slope, intercept, and r² from the normal equations over one-pass
+    moment sums — distributed model fitting without an iterative solver.
+    Scale shape: the ONLY data-sized work is the partial+final decimal
+    moment aggregation (the q_corr_stats scan); the fit itself is O(1)
+    per group. This is how a 100 TB feature-stats or calibration fit
+    actually runs: sufficient statistics map-side, algebra at the end —
+    never a per-iteration pass over the data."""
+    e = load_table(spark, sf_dir, "lineitem")
+    e.createOrReplaceTempView("__ols_lineitem")
+    moments = spark.sql(_CORR_MOMENTS_SQL.format(tbl="__ols_lineitem"))
+    moments.createOrReplaceTempView("__ols_moments")
+    return spark.sql(_OLS_FINAL_SQL.format(tbl="__ols_moments"))
+
+
+# --- contingency / independence analysis -------------------------------------
+
+# Per-CELL output on purpose: a chi² *total* would sum 15 double
+# contributions in engine-specific order (the exact failure mode that bit
+# q_corr_stats in round 1). Every cell's expected count and contribution
+# is computed from integer marginals with one identical double formula, so
+# each value is independently bit-stable; a consumer sums contributions at
+# whatever precision it wants.
+_CONTINGENCY_SQL = """
+WITH obs AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS c
+  FROM {tbl} GROUP BY o_orderstatus, o_orderpriority
+),
+rt AS (SELECT s, sum(c) AS rc FROM obs GROUP BY s),
+ct AS (SELECT p, sum(c) AS pc FROM obs GROUP BY p),
+tot AS (SELECT sum(c) AS t FROM obs)
+SELECT obs.s AS o_orderstatus, obs.p AS o_orderpriority,
+       CAST(obs.c AS BIGINT) AS observed,
+       round(CAST(rc AS DOUBLE) * CAST(pc AS DOUBLE) / CAST(t AS DOUBLE),
+             6) AS expected,
+       round(
+         (CAST(obs.c AS DOUBLE)
+          - CAST(rc AS DOUBLE) * CAST(pc AS DOUBLE) / CAST(t AS DOUBLE))
+         * (CAST(obs.c AS DOUBLE)
+            - CAST(rc AS DOUBLE) * CAST(pc AS DOUBLE) / CAST(t AS DOUBLE))
+         / (CAST(rc AS DOUBLE) * CAST(pc AS DOUBLE) / CAST(t AS DOUBLE)),
+         6) AS chi2_contrib
+FROM obs
+JOIN rt ON rt.s = obs.s
+JOIN ct ON ct.p = obs.p
+CROSS JOIN tot
+"""
+
+
+@query(
+    "q_contingency",
+    oracle=_CONTINGENCY_SQL.format(tbl="orders"),
+)
+def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency analysis (orderstatus × orderpriority): observed vs
+    expected-under-independence counts and per-cell chi² contributions —
+    the association test a feature-selection or drift-detection pass runs
+    over categorical columns. One data-sized aggregation produces the
+    |cells| table; marginals and expectations are algebra over that tiny
+    result (broadcast joins). Shared SQL text on both engines; see the
+    module comment on why the output is per-cell rather than a chi²
+    total."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__cont_orders")
+    return spark.sql(_CONTINGENCY_SQL.format(tbl="__cont_orders"))

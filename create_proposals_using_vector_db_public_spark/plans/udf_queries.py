@@ -253,3 +253,52 @@ def q_udf_groupnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         norm, schema="event_id bigint, event_type string, norm double"
     )
+
+
+# --- multimodal metadata layer (oracle-checked, no Python worker) ------------
+
+_MULTIMODAL_META_ORACLE = """
+WITH blobs AS (
+  SELECT doc_id AS blob_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+           AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_blobs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT sha) AS BIGINT) AS distinct_payloads,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+FROM blobs GROUP BY media_type
+"""
+
+
+@query("q_multimodal_meta", oracle=_MULTIMODAL_META_ORACLE)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked half of the multimodal story: per-media-type
+    metadata aggregates over the binary blob table — count, payload
+    bytes, distinct-content (sha256 of the raw bytes), max payload. The
+    decode step is necessarily a Python UDF (q_multimodal_features), but
+    everything up to it — typed BinaryType column, content hashing,
+    metadata stats — is JVM Column ops, and this query pins those values
+    exactly against DuckDB (sha256 of a UTF-8 string equals sha256 over
+    its encoded bytes on both engines). Scale note: only 16-byte hashes
+    and int metadata shuffle; the binary payload never leaves the scan
+    stage."""
+    blobs = MM.make_blob_table(load_table(spark, sf_dir, "documents"))
+    return (
+        blobs.select(
+            "media_type",
+            "n_bytes",
+            F.sha2(F.col("content"), 256).alias("sha"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("sha").alias("distinct_payloads"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
