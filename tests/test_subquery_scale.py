@@ -133,3 +133,47 @@ def test_nested_in_subset_of_suppliers(spark):
     keys = {r.s_suppkey for r in out.collect()}
     all_keys = {r.s_suppkey for r in s.collect()}
     assert keys <= all_keys
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """The moment-sum fit must agree with an independent dense solver
+    (numpy lstsq) per group, and r² must lie in [0, 1]."""
+    import numpy as np
+
+    rows = QUERIES["q_ols"](spark, SF).collect()
+    assert len(rows) == 3
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for r in rows:
+        g = li[li.l_returnflag == r.l_returnflag]
+        A = np.stack([g.l_quantity.to_numpy(), np.ones(len(g))], axis=1)
+        (slope, intercept), *_ = np.linalg.lstsq(
+            A, g.l_extendedprice.to_numpy(), rcond=None
+        )
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-4
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n == len(g)
+
+
+def test_contingency_marginals(spark):
+    """Observed cells must sum to the table total; expectations are
+    positive and sum (within float tolerance) to the same total."""
+    rows = QUERIES["q_contingency"](spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    total = orders.count()
+    assert sum(r.observed for r in rows) == total
+    assert all(r.expected > 0 for r in rows)
+    assert abs(sum(r.expected for r in rows) - total) < 1e-3
+    assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+def test_multimodal_meta_covers_all_docs(spark):
+    rows = QUERIES["q_multimodal_meta"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert {r.media_type for r in rows} == {"image", "audio", "video"}
+    assert sum(r.n_blobs for r in rows) == docs.count()
+    assert all(r.distinct_payloads <= r.n_blobs for r in rows)
