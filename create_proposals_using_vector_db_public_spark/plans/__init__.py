@@ -65,7 +65,7 @@ _PRIORITY = [
     # CMS sketch, domain mixing
     "q_exists_corr", "q_avg_subquery", "q_nested_in", "q_interval_overlap",
     "q_time_rollup", "q_cms_heavy", "q_domain_mix", "q_multimodal_meta",
-    "q_ols", "q_contingency",
+    "q_ols", "q_contingency", "q_multimodal_frames",
     # round-2 batch 4 (registered after the 50-entry window; parity-checked
     # locally): profiling, maintenance, Q5 join, EWMA
     "q_profile", "q_anomaly", "q_vocab_coverage", "q_inverted_search",
@@ -83,7 +83,7 @@ _PRIORITY = [
     # every oracle-bearing query so a bounded window spends its slots on
     # hash-checkable evidence first
     "q_stream_dedup", "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
-    "q_multimodal_features", "q_multimodal_frames",
+    "q_multimodal_features",
 ]
 
 

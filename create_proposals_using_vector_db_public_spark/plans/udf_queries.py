@@ -77,10 +77,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_frames")  # rows-only
+# media_type == 'video' ⟺ doc_id % 3 == 2 (see make_blob_table); the
+# frame grid is integer arithmetic (floor-divided frame length, idx*len
+# offsets), so the whole sampling plan is value-hash-checkable.
+_MULTIMODAL_FRAMES_ORACLE = """
+WITH blobs AS (
+  SELECT doc_id AS blob_id, octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE doc_id < 300 AND doc_id % 3 = 2
+)
+SELECT blob_id,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       CAST(f.i AS BIGINT) * (n_bytes // 4) AS offset,
+       n_bytes // 4 AS frame_len
+FROM blobs CROSS JOIN (SELECT unnest(range(0, 4)) AS i) f
+"""
+
+
+@query("q_multimodal_frames", oracle=_MULTIMODAL_FRAMES_ORACLE)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for 'video' blobs: one row per sampled frame
-    with byte offsets."""
+    with byte offsets. The grid is pure Column arithmetic (explode over the
+    frame index sequence), so unlike the decode UDFs this one carries a
+    full value oracle — the sampling schedule a real ffmpeg UDF would
+    receive is pinned exactly."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     blobs = MM.make_blob_table(d)
     return MM.frame_sample(blobs, n_frames=4)
