@@ -1,8 +1,10 @@
 from .ingest_stream import (  # noqa: F401
     available_now_to_memory,
     available_now_to_parquet,
+    read_versioned,
     stream_chunks,
     stream_parquet,
+    stream_upsert_to_versioned,
     watermark_dedup,
     windowed_event_counts,
 )

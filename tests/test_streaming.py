@@ -217,3 +217,47 @@ def test_watermark_drops_late_event_across_runs(spark, watch_dir, tmp_path):
     # the [12:00,12:30) window finalized with ONLY the 2 on-time events;
     # the late 12:10 row did not resurrect or inflate it
     assert got.get(t0) == 2, got
+
+
+def test_stream_upsert_versioned_across_runs(spark, watch_dir, tmp_path):
+    """Streaming R12: two AvailableNow runs from one checkpoint against a
+    versioned parquet store. Run 2 carries a CHANGED file — its old rows
+    must be fully replaced (delete-then-insert, app_callapi.py:140-142)
+    while untouched files survive, and every committed version stays a
+    readable immutable snapshot."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_file(
+        spark,
+        watch_dir,
+        "batch1.parquet",
+        [("a.docx", "a v1 p0", t0), ("a.docx", "a v1 p1", t0),
+         ("b.docx", "b v1 p0", t0)],
+    )
+    stream = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    S.stream_upsert_to_versioned(stream, table, ckpt)
+    v0 = S.read_versioned(spark, table)
+    assert v0.count() == 3
+
+    # a.docx re-arrives changed (one paragraph now); b.docx untouched
+    _write_file(
+        spark, watch_dir, "batch2.parquet", [("a.docx", "a v2 p0", t0)]
+    )
+    stream2 = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    S.stream_upsert_to_versioned(stream2, table, ckpt)
+
+    cur = S.read_versioned(spark, table)
+    rows = sorted((r["file_name"], r["text"]) for r in cur.collect())
+    assert rows == [
+        ("a.docx", "a v2 p0"),  # old a-rows gone, replaced wholesale
+        ("b.docx", "b v1 p0"),  # untouched file survives
+    ]
+    # both snapshots committed and independently readable (time travel)
+    import os
+
+    assert os.path.exists(f"{table}/v0") and os.path.exists(f"{table}/v1")
+    assert spark.read.parquet(f"{table}/v0").count() == 3
