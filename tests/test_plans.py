@@ -1,0 +1,88 @@
+"""Physical-plan assertions: pin the scale-critical plan shapes so a
+refactor that silently degrades them (full sort instead of heap top-k,
+nested loop instead of hash join, lost pushdown) fails CI, not a 100 TB
+run. tools/explain.py captures the same plans as artifacts; these are the
+load-bearing properties as executable checks."""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+from create_proposals_using_vector_db_public_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata absent"
+)
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_is_heap_topk_not_global_sort(spark):
+    """The flagship kNN must compile to TakeOrderedAndProject (per-partition
+    heaps, O(k) driver merge) — a global Sort+Limit would shuffle every
+    vector's distance at 100 TB."""
+    p = plan_of(spark, "q_knn")
+    assert "TakeOrderedAndProject" in p
+    # no full-table Sort node outside the top-k operator
+    assert "\n* Sort" not in p and "+- Sort" not in p
+
+
+def test_scan_filter_pushdown_and_pruning(spark):
+    """Q6-shaped scan: predicates reach the parquet reader and the read
+    schema is pruned to referenced columns only."""
+    p = plan_of(spark, "q_scan_filter")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull" in p or "GreaterThan" in p
+    # l_tax is not referenced by the query — pruning must drop it
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("l_tax" not in l for l in read_schema)
+
+
+def test_broadcast_join_for_small_dims(spark):
+    p = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_no_nested_loop_in_hash_joinable_queries(spark):
+    """Queries with manufactured or natural equality keys must never fall
+    to a nested-loop/cartesian plan — the scale-killer this engine's
+    bucket-blocking rewrites exist to prevent. (Queries that intentionally
+    cross-join a broadcast single-row aggregate are excluded, as is
+    q_knn_join: brute-force batch kNN IS a broadcast cross product of the
+    small query set by design — the IVF/LSH/PQ variants are the plans that
+    avoid it.)"""
+    for name in (
+        "q_interval_overlap",
+        "q_exists_corr",
+        "q_avg_subquery",
+        "q_nested_in",
+        "q_asof_join",
+        "q_range_join",
+        "q_dedup_minhash",
+        "q_fuzzy_match",
+    ):
+        p = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_agg_is_partial_plus_final(spark):
+    """TPC-H Q1 must show two HashAggregate levels (map-side combine) so
+    the shuffle carries |groups|, not |rows|."""
+    p = plan_of(spark, "q_agg_basic")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_semi_join_for_exists(spark):
+    p = plan_of(spark, "q_exists_corr")
+    assert "LeftSemi" in p
