@@ -32,6 +32,13 @@ NAMES = sys.argv[2:] or [
     "q_dedup_minhash",
     "q_tfidf",
     "q_stream_window",
+    # round-2 batch 5
+    "q_exists_corr",
+    "q_avg_subquery",
+    "q_interval_overlap",
+    "q_cms_heavy",
+    "q_domain_mix",
+    "q_ols",
 ]
 
 
