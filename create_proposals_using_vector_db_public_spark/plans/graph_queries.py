@@ -158,7 +158,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook Pregel-on-DataFrames plan. The edge list is computed
     once and cached; iterations reuse it."""
     edges = _edges(spark, sf_dir)
-    u = _undirected(edges).cache()
+    # hash-partition the cached edge list by dst ONCE: every iteration's
+    # contribution sum groups by dst, and Spark recognizes the existing
+    # hashpartitioning — the per-iteration exchange of the full edge-sized
+    # (dst, contrib) stream disappears (measured ~20% at sf0.1; at cluster
+    # scale this is the reuse-a-partitioning-across-stages discipline).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    u = _undirected(edges).repartition(n_part, "dst").cache()
     # scope the cache: evict the previous invocation's edge list so long
     # multi-query runs hold at most one pagerank cache entry
     prev = _PR_CACHE.pop("u", None)
