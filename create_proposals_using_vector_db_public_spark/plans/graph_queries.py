@@ -163,8 +163,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashpartitioning — the per-iteration exchange of the full edge-sized
     # (dst, contrib) stream disappears (measured ~20% at sf0.1; at cluster
     # scale this is the reuse-a-partitioning-across-stages discipline).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    u = _undirected(edges).repartition(n_part, "dst").cache()
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        u = _undirected(edges).repartition(n_part, "dst").cache()
+    except ValueError:  # conf may be non-numeric ("auto" on some platforms)
+        u = _undirected(edges).repartition("dst").cache()
     # scope the cache: evict the previous invocation's edge list so long
     # multi-query runs hold at most one pagerank cache entry
     prev = _PR_CACHE.pop("u", None)

@@ -165,7 +165,8 @@ def q_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("qty"))
         .filter(F.col("qty") > 80)
         .select("l_suppkey")
-        .distinct()
+        # no .distinct(): left-semi probe ignores duplicate build-side keys,
+        # so deduplicating here would only add an exchange + aggregate
     )
     return s.join(
         qualifying, s["s_suppkey"] == qualifying["l_suppkey"], "left_semi"

@@ -168,6 +168,7 @@ def stream_upsert_to_versioned(
     checkpoint_path: str,
     file_col: str = "file_name",
     timeout_sec: int = 300,
+    keep_versions: int | None = None,
 ) -> None:
     """Streaming form of R12 upsert (``app_callapi.py:140-142`` under the
     re-scan loop ``app_callapi.py:165-174``): each micro-batch
@@ -183,8 +184,18 @@ def stream_upsert_to_versioned(
     arrived since the last run are folded in. Scale note: each commit
     rewrites only what upsert_files keeps — partition the store by a
     file-hash prefix at 100 TB so the anti-join + rewrite prunes to the
-    affected partitions instead of the full table."""
+    affected partitions instead of the full table.
+
+    ``keep_versions`` bounds disk growth: after each commit, snapshot dirs
+    older than the newest N are deleted (None keeps everything — fine for
+    tests, not for a long-lived store; each version is a full table copy,
+    exactly like Delta/Iceberg retention before VACUUM). Single-writer per
+    table_dir is assumed, as in any file-pointer-committed store; the
+    version read and the commit number derive from ONE pointer read so a
+    violated assumption loses at most the slower writer's commit, never
+    a half-written snapshot."""
     import os
+    import shutil
 
     from ..operators.ingest import upsert_files
 
@@ -193,13 +204,20 @@ def stream_upsert_to_versioned(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur = read_versioned(spark, table_dir)
+        # one pointer read: the snapshot merged FROM and the version number
+        # committed TO must come from the same observed state
+        cur_v = _current_version(spark, table_dir)
+        cur = (
+            None
+            if cur_v < 0
+            else spark.read.parquet(os.path.join(table_dir, f"v{cur_v}"))
+        )
         merged = (
             batch_df
             if cur is None
             else upsert_files(cur, batch_df, file_col=file_col)
         )
-        v = _current_version(spark, table_dir) + 1
+        v = cur_v + 1
         merged.write.mode("overwrite").parquet(
             os.path.join(table_dir, f"v{v}")
         )
@@ -207,6 +225,11 @@ def stream_upsert_to_versioned(
         with open(tmp, "w", encoding="ascii") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(table_dir, "CURRENT"))  # atomic commit
+        if keep_versions is not None:
+            for old in range(max(0, v - keep_versions + 1)):
+                stale = os.path.join(table_dir, f"v{old}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -214,4 +237,11 @@ def stream_upsert_to_versioned(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # unlike the read-only available_now_* helpers, this stream commits
+        # state — returning while it still runs would hand the caller a
+        # stale snapshot or a concurrent-writer hazard
+        q.stop()
+        raise TimeoutError(
+            f"stream_upsert_to_versioned did not finish within {timeout_sec}s"
+        )

@@ -30,10 +30,13 @@ def test_knn_is_heap_topk_not_global_sort(spark):
     """The flagship kNN must compile to TakeOrderedAndProject (per-partition
     heaps, O(k) driver merge) — a global Sort+Limit would shuffle every
     vector's distance at 100 TB."""
+    import re
+
     p = plan_of(spark, "q_knn")
     assert "TakeOrderedAndProject" in p
-    # no full-table Sort node outside the top-k operator
-    assert "\n* Sort" not in p and "+- Sort" not in p
+    # no standalone Sort node anywhere (robust to the codegen '* ' marker;
+    # TakeOrderedAndProject/SortMergeJoin don't match the word boundary)
+    assert not re.search(r"\bSort \(", p)
 
 
 def test_scan_filter_pushdown_and_pruning(spark):

@@ -261,3 +261,25 @@ def test_stream_upsert_versioned_across_runs(spark, watch_dir, tmp_path):
 
     assert os.path.exists(f"{table}/v0") and os.path.exists(f"{table}/v1")
     assert spark.read.parquet(f"{table}/v0").count() == 3
+
+
+def test_stream_upsert_retention_prunes_old_versions(spark, watch_dir, tmp_path):
+    """keep_versions bounds the store: only the newest N snapshot dirs
+    survive a commit."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_file(spark, watch_dir, "b1.parquet", [("a.docx", "v1", t0)])
+    stream = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    S.stream_upsert_to_versioned(stream, table, ckpt, keep_versions=1)
+    _write_file(spark, watch_dir, "b2.parquet", [("a.docx", "v2", t0)])
+    stream2 = S.stream_parquet(spark, f"{watch_dir}/*.parquet", SCHEMA)
+    S.stream_upsert_to_versioned(stream2, table, ckpt, keep_versions=1)
+
+    assert not os.path.isdir(f"{table}/v0")  # pruned
+    cur = S.read_versioned(spark, table)
+    assert [r["text"] for r in cur.collect()] == ["v2"]
