@@ -613,3 +613,53 @@ def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__cont_orders")
     return spark.sql(_CONTINGENCY_SQL.format(tbl="__cont_orders"))
+
+
+# --- skyline (Pareto frontier) -----------------------------------------------
+
+# Dominance: q dominates p iff q.price <= p.price AND q.size >= p.size,
+# strictly better in at least one. The naive form is an n² self-anti-join;
+# for 2 dimensions the frontier falls out of a strict-prefix running max:
+#   1. per-price max size (one partial+final agg),
+#   2. prefix max over the per-price rows ordered by price (deterministic —
+#      one row per price — and |distinct prices|-sized, so the window is
+#      ~free),
+#   3. p survives iff no strictly-cheaper price reached its size
+#      (prev_max >= size → dominated, price strictness given) and no
+#      equal-price row strictly exceeds it (msize > size).
+# Equal (price, size) duplicates don't dominate each other — both kept.
+_SKYLINE_SQL = """
+WITH g AS (
+  SELECT p_retailprice AS price, max(p_size) AS msize
+  FROM {tbl} GROUP BY p_retailprice
+),
+pfx AS (
+  SELECT price, msize,
+         max(msize) OVER (
+           ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM g
+)
+SELECT p.p_partkey, p.p_name, p.p_retailprice AS price,
+       CAST(p.p_size AS INTEGER) AS size
+FROM {tbl} p
+JOIN pfx ON pfx.price = p.p_retailprice
+WHERE (pfx.prev_max IS NULL OR pfx.prev_max < p.p_size)
+  AND pfx.msize <= p.p_size
+"""
+
+
+@query("q_skyline", oracle=_SKYLINE_SQL.format(tbl="part"))
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over parts (minimize retail price,
+    maximize size) — the multi-criteria shortlist query. Two dimensions
+    reduce dominance to a strict-prefix running max over a per-price
+    pre-aggregate: the only data-sized op is one partial+final groupBy;
+    the window runs over |distinct prices| rows; the verdict joins back
+    broadcast. The n² dominance self-join a naive plan would emit (and
+    which no cluster survives at 100 TB) never appears. Shared SQL text on
+    both engines."""
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("__sky_part")
+    return spark.sql(_SKYLINE_SQL.format(tbl="__sky_part"))

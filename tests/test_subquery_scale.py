@@ -177,3 +177,23 @@ def test_multimodal_meta_covers_all_docs(spark):
     assert {r.media_type for r in rows} == {"image", "audio", "video"}
     assert sum(r.n_blobs for r in rows) == docs.count()
     assert all(r.distinct_payloads <= r.n_blobs for r in rows)
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    """The prefix-max skyline must equal the O(n²) dominance definition."""
+    parts = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).toPandas()
+    pts = list(parts.itertuples(index=False))
+
+    def dominated(p):
+        return any(
+            q.p_retailprice <= p.p_retailprice
+            and q.p_size >= p.p_size
+            and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+            for q in pts
+        )
+
+    want = {p.p_partkey for p in pts if not dominated(p)}
+    got = {r.p_partkey for r in QUERIES["q_skyline"](spark, SF).collect()}
+    assert got == want
