@@ -66,6 +66,7 @@ _PRIORITY = [
     "q_exists_corr", "q_avg_subquery", "q_nested_in", "q_interval_overlap",
     "q_time_rollup", "q_cms_heavy", "q_domain_mix", "q_multimodal_meta",
     "q_ols", "q_contingency", "q_multimodal_frames", "q_skyline",
+    "q_hll_merge",
     # round-2 batch 4 (registered after the 50-entry window; parity-checked
     # locally): profiling, maintenance, Q5 join, EWMA
     "q_profile", "q_anomaly", "q_vocab_coverage", "q_inverted_search",

@@ -507,3 +507,64 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("exact_cnt")).alias("is_sound"),
         )
     )
+
+
+# --- HLL sketch merge (partition-wise distinct counting) ---------------------
+
+# The q_approx_distinct oracle pattern: raw sketch estimates are
+# engine-specific, so the hash-checked output is (exact count, both
+# engines' own estimate within tolerance) — deterministic on both sides.
+_HLL_MERGE_ORACLE = """
+WITH q AS (
+  SELECT strftime(date_trunc('quarter', l_shipdate), '%Y-%m') AS quarter,
+         l_partkey
+  FROM lineitem
+)
+SELECT quarter,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+         / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05 AS merged_ok
+FROM q GROUP BY quarter
+"""
+
+
+@query("q_hll_merge", oracle=_HLL_MERGE_ORACLE)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct sketches: per-MONTH HLL sketches built once
+    (hll_sketch_agg), then unioned to QUARTER estimates (hll_union_agg) —
+    the pattern that makes distinct counting incremental at 100 TB: a
+    materialized rollup stores a ~1.5 KB sketch per partition instead of
+    the key set, and any coarser rollup (quarter, year, lifetime) merges
+    sketches without touching the raw data again. The hash-checked output
+    is (exact count, estimate-within-5%) — the sketch bytes themselves are
+    engine-specific (see q_approx_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            F.date_format(F.date_trunc("quarter", "l_shipdate"), "yyyy-MM")
+            .alias("quarter"),
+            F.date_trunc("month", "l_shipdate").alias("month"),
+            "l_partkey",
+        )
+        .groupBy("quarter", "month")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    )
+    merged = monthly.groupBy("quarter").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.select(
+        F.date_format(F.date_trunc("quarter", "l_shipdate"), "yyyy-MM")
+        .alias("quarter"),
+        "l_partkey",
+    ).groupBy("quarter").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return exact.join(merged, "quarter").select(
+        "quarter",
+        "exact_parts",
+        (
+            F.abs(F.col("est") - F.col("exact_parts"))
+            / F.col("exact_parts").cast("double")
+            <= 0.05
+        ).alias("merged_ok"),
+    )
