@@ -197,3 +197,12 @@ def test_skyline_equals_bruteforce_dominance(spark):
     want = {p.p_partkey for p in pts if not dominated(p)}
     got = {r.p_partkey for r in QUERIES["q_skyline"](spark, SF).collect()}
     assert got == want
+
+
+def test_hll_merge_within_tolerance_everywhere(spark):
+    """Merged per-month sketches must estimate every quarter's distinct
+    count within the declared 5% envelope (exact at these cardinalities
+    would also pass — the invariant is the envelope, not exactness)."""
+    rows = QUERIES["q_hll_merge"](spark, SF).collect()
+    assert rows and all(r.merged_ok for r in rows)
+    assert all(r.exact_parts > 0 for r in rows)
