@@ -124,3 +124,66 @@ def test_integer_half_away_rounding_matches_python(spark, cases):
     }
     for i, (s, n) in enumerate(cases):
         assert got[i] == py_half_away(s, n), (s, n)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(  # a-side intervals: (user, start)
+        st.tuples(st.integers(0, 3), st.integers(0, 10**10)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(  # b-side intervals
+        st.tuples(st.integers(0, 3), st.integers(0, 10**10)),
+        min_size=1, max_size=15,
+    ),
+)
+def test_interval_bucket_blocking_equals_naive_overlap(spark, a_rows, b_rows):
+    """The q_interval_overlap rewrite (explode to hour buckets, join on
+    (user, bucket), keep a pair only in the bucket of greatest(start))
+    must equal the naive inequality join for ANY intervals — including
+    starts landing exactly on hour boundaries and zero-separation
+    overlaps. Same window lengths as the declared query (30m / 15m)."""
+    HOUR = 3_600_000_000
+    A_LEN, B_LEN = 30 * 60_000_000, 15 * 60_000_000
+
+    a = spark.createDataFrame(
+        [(i, u, s, s + A_LEN) for i, (u, s) in enumerate(a_rows)],
+        "a_id: long, a_u: long, a_start: long, a_end: long",
+    )
+    b = spark.createDataFrame(
+        [(i, u, s, s + B_LEN) for i, (u, s) in enumerate(b_rows)],
+        "b_id: long, b_u: long, b_start: long, b_end: long",
+    )
+
+    def bucketed(df, s, t):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} div {HOUR}"), F.expr(f"({t} - 1) div {HOUR}")
+                )
+            ),
+        )
+
+    blocked = (
+        bucketed(a.withColumnRenamed("a_u", "u"), "a_start", "a_end")
+        .join(bucketed(b.withColumnRenamed("b_u", "u"), "b_start", "b_end"), ["u", "bucket"])
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            & (F.expr(f"greatest(a_start, b_start) div {HOUR}") == F.col("bucket"))
+        )
+        .select("a_id", "b_id")
+    )
+    naive = (
+        a.withColumnRenamed("a_u", "u")
+        .join(b.withColumnRenamed("b_u", "u"), "u")
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .select("a_id", "b_id")
+    )
+    got = sorted((r.a_id, r.b_id) for r in blocked.collect())
+    want = sorted((r.a_id, r.b_id) for r in naive.collect())
+    assert got == want  # equal AND no duplicate emissions
