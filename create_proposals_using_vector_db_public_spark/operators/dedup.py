@@ -178,9 +178,13 @@ def with_minhash_signature(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """df columns + mh0..mh7 (joined back on id_col; see
-    :func:`minhash_signatures` for why the signature pass is exploded)."""
+    :func:`minhash_signatures` for why the signature pass is exploded).
+    LEFT join: documents too short to shingle keep their row with NULL
+    signature columns — the same contract as the row-local
+    :func:`minhash_cols` form, and no silent row loss for enrich-style
+    callers."""
     sigs = minhash_signatures(df, id_col, text_col, shingle_words, num_hashes)
-    return df.join(sigs, on=id_col, how="inner")
+    return df.join(sigs, on=id_col, how="left")
 
 
 def band_key(sig_cols: list[Column | str], band: int, bands: int = MINHASH_BANDS) -> Column:
@@ -523,7 +527,16 @@ def simhash_signatures(
     :func:`shingle_hashes_exploded`) → distinct per doc → affine mix →
     per-bit conditional counts in one partial+final aggregation. The
     row-local :func:`simhash` column duplicates the feature expression per
-    bit (codegen blowup); this form hashes each word exactly once."""
+    bit (codegen blowup); this form hashes each word exactly once.
+
+    NOT bit-compatible with the row-local :func:`simhash`: the two draw
+    feature bits from different hash families (md5 nibbles of shingle
+    strings vs an affine mix of integer shingle hashes), so signatures
+    from one form must never be Hamming-compared against the other —
+    pick one form per stored corpus. Also note the mixed value is mod
+    2^31-1, so bit 31 of this form is always 0: the effective signature
+    width is 31 bits (band blocking and distances are unaffected; a
+    31-vs-32-bit width only shifts the collision rate marginally)."""
     hashed = shingle_hashes_exploded(df, id_col, text_col, shingle_words or 3)
     distinct = hashed.dropDuplicates([id_col, "__s"])
     mixed = distinct.select(

@@ -52,10 +52,14 @@ def split_paragraphs(
 ) -> DataFrame:
     """R5+R6: split into trimmed, non-empty paragraphs with positional index
     (``app.py:24,33`` + enumeration ``app.py:97``). posexplode keeps the
-    within-file position — the reference's paragraph_idx — without a window."""
+    within-file position — the reference's paragraph_idx — without a window.
+    ``delim`` is a LITERAL separator (regex-escaped before the split —
+    ``delim='.'`` splits on dots, not on every character)."""
+    import re
+
     exploded = df.select(
         *[c for c in df.columns if c != text_col],
-        F.posexplode(F.split(F.col(text_col), delim)).alias(
+        F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias(
             "paragraph_idx", "paragraph"
         ),
     )

@@ -38,20 +38,37 @@ def asof_join(
     ``right_ts <= left_ts`` in the same key group (backward as-of).
 
     Rows tie-break as (ts, right-before-left[, tiebreak]) so a right row at
-    exactly left_ts is matched — the `<=` convention. When several right
-    rows share (key, ts) and no explicit ``tiebreak`` column is given, the
-    payload columns themselves complete the ordering, so the row with the
-    greatest payload tuple wins deterministically on every run/partitioning
-    (payload types must be orderable for this default).
+    exactly left_ts is matched — the `<=` convention. ``tiebreak`` must be
+    one of ``right_payload`` (it orders RIGHT rows; no other right column
+    survives into the union). When several right rows share (key, ts) and
+    no ``tiebreak`` is given, the payload columns themselves complete the
+    ordering, so the row with the greatest payload tuple wins
+    deterministically on every run/partitioning (payload types must be
+    orderable for this default).
+
+    Payloads are carried through the window inside a single-field struct so
+    a right row whose payload is genuinely NULL still *matches* (the
+    result is that NULL, not a stale earlier value) — ``last(ignorenulls)``
+    skips only the left rows' placeholder structs, never a real right row.
     """
+    if tiebreak is not None and tiebreak not in right_payload:
+        raise ValueError(
+            f"tiebreak {tiebreak!r} must be one of right_payload "
+            f"{right_payload} — only payload columns survive into the "
+            "as-of union"
+        )
     lcols = [c for c in left.columns]
+
+    def wrap_null(c: str) -> Column:
+        dt = right.schema[c].dataType.simpleString()
+        return F.lit(None).cast(f"struct<v:{dt}>").alias(f"__r_{c}")
+
     l = left.select(
         *key_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols if c not in key_cols and c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_payload],
+        *[wrap_null(c) for c in right_payload],
     )
     r = right.select(
         *key_cols,
@@ -59,17 +76,18 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in key_cols and c != left_ts],
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        *[F.struct(F.col(c).alias("v")).alias(f"__r_{c}")
+          for c in right_payload],
     )
     u = l.unionByName(r)
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).asc_nulls_first())
+        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
     else:
         # total order among tied right rows: last() then deterministically
-        # carries the greatest payload tuple (nulls sort first, so real
-        # right payloads beat the left rows' null placeholders only via
-        # ignorenulls, unchanged)
+        # carries the greatest payload tuple (left rows' placeholder
+        # structs are NULL and sort first; a right row's struct is always
+        # non-null even when the payload inside it is)
         order.extend(
             F.col(f"__r_{c}").asc_nulls_first() for c in right_payload
         )
@@ -81,7 +99,10 @@ def asof_join(
     filled = u.select(
         "*",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(w)
+            .getField("v")
+            .alias(f"asof_{c}")
             for c in right_payload
         ],
     )

@@ -55,11 +55,11 @@ def knn(
     out = (
         df.withColumn("dist", dist)
         .withColumn("cosine", cos)
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(int(k))
     )
     # rank over the k collected rows — cheap (k rows), single partition is fine
-    w = Window.orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    w = Window.orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
     return out.withColumn("rank", F.row_number().over(w)).drop(vec_col)
 
 
@@ -93,7 +93,7 @@ def knn_join(
         "dist", F.round(V.l2_dist(F.col("__cv"), F.col("__qv")), 6)
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("dist").asc(), F.col(corpus_id_col).asc()
+        F.col("dist").asc_nulls_last(), F.col(corpus_id_col).asc()
     )
     return (
         joined.withColumn("rank", F.row_number().over(w))
@@ -120,7 +120,18 @@ def ivf_assign(
     no per-group sort (a window argmin would shuffle and sort all n×k).
     Ties broken by ``centroid_id`` via lexicographic struct comparison, so
     assignment is deterministic (SURVEY §7 trap 5).
+
+    Re-assignment safe: a corpus that already carries assignment columns
+    (this function's own output, fed back after a codebook update) has
+    them dropped first — otherwise the cross join would raise
+    AMBIGUOUS_REFERENCE on ``centroid_id``.
     """
+    stale = [
+        c for c in (centroid_id_col, "centroid_dist")
+        if c in corpus_df.columns
+    ]
+    if stale:
+        corpus_df = corpus_df.drop(*stale)
     cents = F.broadcast(
         centroids_df.select(
             F.col(centroid_id_col),
@@ -237,7 +248,7 @@ def ivf_search_join(
         "__qd", V.l2_dist(F.col("__qv"), F.col("__cent"))
     )
     wp = Window.partitionBy(query_id_col).orderBy(
-        F.col("__qd").asc(), F.col(centroid_id_col).asc()
+        F.col("__qd").asc_nulls_last(), F.col(centroid_id_col).asc()
     )
     probes = (
         qc.withColumn("__pn", F.row_number().over(wp))
@@ -257,7 +268,7 @@ def ivf_search_join(
         "dist", F.round(V.l2_dist(V.as_double_array(vec_col), F.col("__qv")), 6)
     )
     wk = Window.partitionBy(query_id_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(wk))
@@ -355,6 +366,29 @@ def kmeans_codebook(
     return cents
 
 
+def probe_cells(
+    centroids_df: DataFrame,
+    q: Column,
+    n_probe: int,
+    centroid_vec_col: str = "centroid_vec",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """The ``n_probe`` centroid ids nearest a single query vector — the
+    probe-selection step every single-query IVF variant shares (plain IVF
+    and IVFPQ use this helper; the batch form in :func:`ivf_search_join`
+    is the per-query-window generalization). Deterministic tie-break on
+    centroid id; NULL distances (malformed centroid vectors) sort last."""
+    return (
+        centroids_df.select(
+            F.col(centroid_id_col),
+            V.l2_dist(V.as_double_array(centroid_vec_col), q).alias("__qd"),
+        )
+        .orderBy(F.col("__qd").asc_nulls_last(), F.col(centroid_id_col).asc())
+        .limit(n_probe)
+        .select(centroid_id_col)
+    )
+
+
 def ivf_search(
     corpus_df: DataFrame,
     centroids_df: DataFrame,
@@ -375,15 +409,7 @@ def ivf_search(
     assigned = ivf_assign(
         corpus_df, centroids_df, vec_col, id_col, centroid_vec_col, centroid_id_col
     )
-    probe = (
-        centroids_df.select(
-            F.col(centroid_id_col),
-            V.l2_dist(V.as_double_array(centroid_vec_col), q).alias("__qd"),
-        )
-        .orderBy(F.col("__qd").asc(), F.col(centroid_id_col).asc())
-        .limit(n_probe)
-        .select(centroid_id_col)
-    )
+    probe = probe_cells(centroids_df, q, n_probe, centroid_vec_col, centroid_id_col)
     cell = assigned.join(F.broadcast(probe), on=centroid_id_col, how="inner")
     return knn(cell, q, k, vec_col=vec_col, id_col=id_col)
 
@@ -453,13 +479,17 @@ def pq_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Train per-subspace PQ codebooks: deterministic seeds (the first
-    ``n_cent`` vectors' subvectors) + one Lloyd update with decimal-exact
+    """Train per-subspace PQ codebooks: deterministic seeds (the ``n_cent``
+    smallest ids' subvectors — any orderable id domain works, no
+    dense-from-0 assumption) + one Lloyd update with decimal-exact
     component means (same order-independence discipline as
     :func:`kmeans_update`, here keyed by (s, centroid, pos)). Returns
     (s, centroid_id, cv). More Lloyd rounds = repeat assign/update."""
     subs = pq_subvectors(corpus_df, n_sub, sub_dim, vec_col, id_col)
-    seeds = subs.filter(F.col(id_col) < n_cent).select(
+    seed_ids = (
+        corpus_df.select(id_col).distinct().orderBy(id_col).limit(n_cent)
+    )
+    seeds = subs.join(F.broadcast(seed_ids), on=id_col).select(
         "s", F.col(id_col).alias("centroid_id"), F.col("sv").alias("cv")
     )
     assigned = pq_assign(subs, seeds, id_col, keep_sv=True)
@@ -534,8 +564,8 @@ def pq_adc_search(
         .groupBy(id_col)
         .agg(F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("adist"))
     )
-    ranked = adist.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    ranked = adist.orderBy(F.col("adist").asc_nulls_last(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("adist").asc_nulls_last(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
@@ -550,6 +580,8 @@ def ivfpq_search(
     n_probe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroid_vec_col: str = "centroid_vec",
+    centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """IVF + PQ composed: coarse-quantize to prune WHICH vectors are
     scored (n_probe/n_centroids of the corpus, partition-prunable), then
@@ -560,17 +592,14 @@ def ivfpq_search(
     quantize raw vectors, not cell residuals; residual encoding is the
     same pipeline with (vector − centroid) fed to pq_train/pq_assign."""
     q = V.vec_lit(list(query_vec))
-    assigned = ivf_assign(corpus_df, centroids_df, vec_col, id_col)
-    probe = (
-        centroids_df.select(
-            "centroid_id",
-            V.l2_dist(V.as_double_array("centroid_vec"), q).alias("__qd"),
-        )
-        .orderBy(F.col("__qd").asc(), F.col("centroid_id").asc())
-        .limit(n_probe)
-        .select("centroid_id")
+    assigned = ivf_assign(
+        corpus_df, centroids_df, vec_col, id_col, centroid_vec_col,
+        centroid_id_col,
     )
-    cell = assigned.join(F.broadcast(probe), "centroid_id").select(
+    probe = probe_cells(
+        centroids_df, q, n_probe, centroid_vec_col, centroid_id_col
+    )
+    cell = assigned.join(F.broadcast(probe), centroid_id_col).select(
         id_col, vec_col
     )
     return pq_adc_search(

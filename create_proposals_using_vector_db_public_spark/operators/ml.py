@@ -108,6 +108,16 @@ def embedder_udf(dim: int = EMBED_DIM, max_length: int = 512):
                 mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
                 pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1)
                 vecs = pooled.float().cpu().numpy()
+            if vecs.shape[1] != dim:
+                # fail loudly: silently mixing model-width vectors with
+                # dim-width zero vectors would poison every downstream
+                # zip_with distance (NULLs) — the caller asked for `dim`
+                raise ValueError(
+                    f"embedder dim mismatch: requested {dim}, model "
+                    f"produces {vecs.shape[1]} — pass dim="
+                    f"{vecs.shape[1]} (or none) when the real model is "
+                    "available"
+                )
             for row, i in enumerate(nonempty):
                 out[i] = [float(x) for x in vecs[row]]
         return pd.Series(out)
