@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ..functions import hashing as H
 from ..operators import ingest as I
 
 
@@ -45,12 +46,16 @@ def read_binary_folder(
 
 
 def _extract_pdf(content: bytes) -> str:
+    # catch Exception, not just ImportError: one corrupt file must degrade
+    # to the UTF-8 fallback for THAT file (the reference's per-file
+    # try/except, app.py:29-38), never fail the whole ingest job 4-retries
+    # deep inside a task
     try:
         import fitz  # PyMuPDF
 
         doc = fitz.open(stream=content, filetype="pdf")
         return "\n".join(page.get_text("text") for page in doc)
-    except ImportError:
+    except Exception:
         # deterministic fallback: treat bytes as UTF-8 text
         return content.decode("utf-8", errors="replace")
 
@@ -61,7 +66,7 @@ def _extract_docx(content: bytes) -> str:
 
         doc = Document(io.BytesIO(content))
         return "\n".join(p.text for p in doc.paragraphs)
-    except ImportError:
+    except Exception:
         return content.decode("utf-8", errors="replace")
 
 
@@ -103,7 +108,7 @@ def ingest_folder(
     """
     files = read_binary_folder(spark, path)
     files = I.filter_ingestible(files, extensions=(".pdf", ".docx", ".txt"))
-    files = files.withColumn("file_sha256", F.sha2(F.col("content"), 256))
+    files = files.withColumn("file_sha256", H.sha256_hex("content"))
     if file_state is not None:
         files = I.skip_unchanged(files, file_state)
     texts = files.select(

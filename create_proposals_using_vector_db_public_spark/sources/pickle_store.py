@@ -56,10 +56,18 @@ class _StorePartition(InputPartition):
 
 class RefPickleReader(DataSourceReader):
     def __init__(self, options):
-        paths = options.get("path")
-        if not paths:
+        # DSv2 passes load(path) as the 'path' option and load([p1, p2])
+        # as a JSON-encoded array under 'paths'
+        single = options.get("path")
+        multi = options.get("paths")
+        if multi:
+            import json
+
+            self._paths = list(json.loads(multi))
+        elif single:
+            self._paths = [single]
+        else:
             raise ValueError("refpickle: a load(path) is required")
-        self._paths = [paths] if isinstance(paths, str) else list(paths)
 
     def partitions(self):
         return [_StorePartition(p) for p in self._paths]

@@ -63,7 +63,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":  # legacy nanosAsLong path
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts_us", F.expr("ts_ns div 1000")
+            # FLOOR division (pmod is non-negative), matching the 4.1+
+            # native nanos->micros truncation for pre-epoch values too —
+            # `div` alone truncates toward zero and would differ by 1µs
+            "ts_us", F.expr("(ts_ns - pmod(ts_ns, 1000)) div 1000")
         )
     else:  # timestamp_ntz (or timestamp): fields are the UTC wall clock
         df = (

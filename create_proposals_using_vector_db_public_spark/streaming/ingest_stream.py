@@ -114,7 +114,13 @@ def available_now_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # stop + raise: returning would hand the caller a partial dataset
+        # while the unstopped query keeps appending behind their back
+        q.stop()
+        raise TimeoutError(
+            f"available_now_to_parquet did not finish within {timeout_sec}s"
+        )
 
 
 def available_now_to_memory(
@@ -134,7 +140,11 @@ def available_now_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"available_now_to_memory did not finish within {timeout_sec}s"
+        )
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -198,6 +208,10 @@ def stream_upsert_to_versioned(
     import shutil
 
     from ..operators.ingest import upsert_files
+
+    if keep_versions is not None and keep_versions < 1:
+        # 0 would delete the snapshot just committed and brick the table
+        raise ValueError("keep_versions must be >= 1 (or None to keep all)")
 
     spark = stream_df.sparkSession
 

@@ -36,6 +36,7 @@ def running_counts_stateful(
     key_col: str = "event_type",
     ts_col: str = "ts",
     ts_type=None,
+    key_type=None,
 ) -> DataFrame:
     """Cumulative per-key event counts that survive across micro-batches
     AND across separate runs (the count state is in the checkpoint, so a
@@ -44,11 +45,12 @@ def running_counts_stateful(
 
     Emits one row per key per batch: (key, n_events_total, last_ts).
     ``ts_type`` is the ``ts_col`` data type (default TimestampType; pass
-    LongType for integer-microsecond columns).
+    LongType for integer-microsecond columns); ``key_type`` likewise for
+    non-string grouping keys (default StringType).
     """
     out_schema = StructType(
         [
-            StructField(key_col, StringType()),
+            StructField(key_col, key_type or StringType()),
             StructField("n_events", LongType()),
             StructField("last_ts", ts_type or TimestampType()),
         ]
@@ -92,14 +94,24 @@ def run_update_to_parquet(
     """One AvailableNow pass of an update-mode stateful stream into parquet
     via foreachBatch (the parquet sink itself is append-only; foreachBatch
     is the standard update-mode-to-files bridge and keeps checkpoint
-    resumability)."""
+    resumability). Each micro-batch OVERWRITES its own batch=N subdir, so
+    a batch retried after a sink-write-then-checkpoint-crash rewrites the
+    same directory instead of appending duplicate rows — the idempotence
+    contract foreachBatch file sinks need. Readers scan out_path and see
+    batch as a partition column."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda df, _bid: df.write.mode("append").parquet(out_path)
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                f"{out_path}/batch={bid}"
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"run_update_to_parquet did not finish within {timeout_sec}s"
+        )

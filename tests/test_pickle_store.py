@@ -78,3 +78,25 @@ def test_roundtrip_identity(spark):
         for r in back.collect()
     }
     assert got == orig
+
+
+def test_read_multi_store_load(spark):
+    """load([p1, p2]) arrives at the DSv2 reader as a JSON array under the
+    'paths' option — the multi-shard import path must map one store per
+    partition."""
+    stores = []
+    for i in range(2):
+        store = {
+            "names": [f"s{i}.docx"],
+            "paragraphs": [(f"s{i}.docx", 0)],
+            "embeddings": [[float(i), 1.0]],
+            "keywords": [[f"k{i}"]],
+        }
+        path = _tmp(f"doc_data_{i}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(store, f)
+        stores.append(path)
+    spark.dataSource.register(pickle_store.RefPickleDataSource)
+    df = spark.read.format("refpickle").load(stores)
+    names = sorted(r.file_name for r in df.collect())
+    assert names == ["s0.docx", "s1.docx"]
