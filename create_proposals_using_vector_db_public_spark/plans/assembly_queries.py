@@ -195,7 +195,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E2E_CHUNK = 32
 _E2E_MIN_WORDS = 15
-_E2E_PII_TAIL = " Contact jane.doe@example.com or +1-555-0142 today"
+# shared with pipeline_queries so the two families always plant the SAME
+# PII phenomenon (a drift here would silently test different things)
+from .pipeline_queries import _PII_TAIL as _E2E_PII_TAIL  # noqa: E402
 
 _E2E_ORACLE = f"""
 WITH base AS (

@@ -184,7 +184,11 @@ def q_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-doc term-rarity profile --------------------------------------------
 
 # rare = corpus share below 0.05% (integer cross-multiply, sf-independent)
-_RARE_MULT = 2000
+# tf * MULT < total defines "rare". The fixture vocabulary is 31
+# near-uniform terms plus ONE genuinely low-frequency term (~1/960 of
+# the stream); 60 classifies exactly that term as rare at every SF —
+# 2000 (the first draft) classified nothing and made the check vacuous
+_RARE_MULT = 60
 
 _RARE_TERMS_ORACLE = f"""
 WITH tok AS (

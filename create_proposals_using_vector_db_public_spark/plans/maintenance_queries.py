@@ -204,12 +204,17 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "O")
     )
+    # uuid-per-run staging: a path keyed only by SF would race two
+    # concurrent sessions (one's rmtree deleting files the other is
+    # mid-read). /tmp is ephemeral; the dir is small and per-invocation.
+    import uuid as _uuid
+
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_compact_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_uuid.uuid4().hex[:8]}",
     )
     small, big = f"{base}/small", f"{base}/big"
-    shutil.rmtree(base, ignore_errors=True)
     # pathological layout: 64 tiny files
     src.repartition(64).write.mode("overwrite").parquet(small)
     # compaction: no shuffle — AQE-style partition merge down to 2 files
@@ -349,7 +354,7 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_c = c.filter(F.col("c_custkey") % 97 == 0)
     terms = [
         o_old.join(c_old, o_old.o_custkey == c_old.c_custkey),
-        d_o.join(c_old, d_o.o_custkey == c_old.c_custkey),
+        c_old.join(F.broadcast(d_o), d_o.o_custkey == c_old.c_custkey),
         o_old.join(F.broadcast(d_c), o_old.o_custkey == d_c.c_custkey),
         d_o.join(F.broadcast(d_c), d_o.o_custkey == d_c.c_custkey),
     ]

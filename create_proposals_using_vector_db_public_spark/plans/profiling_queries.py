@@ -128,8 +128,11 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- no division, no sqrt, no float anywhere, so the flag is bit-exact in
 # both engines. Intermediates run in 128-bit integers (Spark DECIMAL(38,0),
 # DuckDB HUGEINT) because (n*v)^2*(n-1) overflows int64 once groups pass
-# ~1e3 rows; 128-bit holds to ~1e18-row groups, far past any real
-# (type, month) cell.
+# ~1e3 rows. 128-bit headroom: lhs ~ n^3 * R^2 with R the cent-scaled
+# value spread (~1e6 here), so DECIMAL(38,0) holds to n ~ 5e8 rows per
+# (type, month) group; a 100 TB run whose cells exceed that splits the
+# group key finer (e.g. (type, day)) before this pass — the algebra is
+# unchanged, only the grouping granularity.
 
 _ANOMALY_ORACLE = """
 WITH e AS (
@@ -191,7 +194,10 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- vocabulary coverage (OOV rate) ------------------------------------------
 
-_VOCAB_N = 100
+# below the fixture's 31 distinct terms ON PURPOSE: with N >= |vocab| the
+# left join always matches, every oov_rate is 0, and the boundary
+# tie-break is never exercised — the check would be vacuous
+_VOCAB_N = 20
 
 _VOCAB_WORDS_SQL = d_words("lower(text)")
 
@@ -281,7 +287,7 @@ def q_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches.
     """
     docs = load_table(spark, sf_dir, "documents")
-    terms = [F.lit(t) for t in _SEARCH_TERMS]
+
     postings = (
         docs.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("w"))
         .filter(F.col("w").isin(*_SEARCH_TERMS))
@@ -290,6 +296,6 @@ def q_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         postings.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_terms"))
-        .filter(F.col("n_terms") == len(terms))
+        .filter(F.col("n_terms") == len(_SEARCH_TERMS))
     )
     return hits.join(docs, "doc_id").select("doc_id", "lang", "n_chars")
