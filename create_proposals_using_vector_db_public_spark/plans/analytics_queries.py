@@ -448,7 +448,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tag}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_buckets_{tag}_{os.getpid()}"
+    )
     o_tbl, c_tbl = f"b_orders_{tag}", f"b_customer_{tag}"
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -501,7 +503,8 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_sink_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     d.write.mode("overwrite").partitionBy("lang").parquet(out_dir)

@@ -61,22 +61,40 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
+    # pid-suffixed staging: a path keyed only by SF races concurrent
+    # sessions (rmtree under an active lazy read); within one process the
+    # path is stable so repeat invocations just overwrite
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_fmt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_fmt_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     schema = "doc_id bigint, text string, lang string, n_chars bigint"
+    # CSV fidelity options — the defaults silently corrupt general text:
+    # multiLine=false splits quoted embedded newlines into broken rows,
+    # default nullValue turns '' into NULL, and the writer's
+    # ignoreLeading/TrailingWhiteSpace=true trims real spaces. The
+    # fixture has none of those today; the options make the round-trip
+    # claim hold for any text.
+    _CSV_OPTS = {
+        "header": "true",
+        "multiLine": "true",
+        "nullValue": "\\N",
+        "emptyValue": '""',
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
+    }
     outs = []
     for fmt in _FORMATS:
         path = os.path.join(base, fmt)
         shutil.rmtree(path, ignore_errors=True)
         w = d.write.mode("overwrite").format(fmt)
         if fmt == "csv":
-            w = w.option("header", "true")
+            w = w.options(**_CSV_OPTS)
         w.save(path)
         r = spark.read.format(fmt)
         if fmt == "csv":
-            r = r.option("header", "true")
+            r = r.options(**_CSV_OPTS)
         back = r.schema(schema).load(path)
         outs.append(
             back.agg(
@@ -131,7 +149,8 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     d.filter(F.col("doc_id") < 250).select("doc_id", "lang").write.parquet(
@@ -212,7 +231,8 @@ def q_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_pickle_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_pickle_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
         "doc_data.pkl",
     )
     pickle_store.write_doc_data(chunks, path)

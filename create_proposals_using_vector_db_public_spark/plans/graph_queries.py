@@ -206,7 +206,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_pagerank.__doc__ = q_pagerank.__doc__.format(iters=_PR_ITERS)
+if q_pagerank.__doc__:  # absent under python -OO
+    q_pagerank.__doc__ = q_pagerank.__doc__.format(iters=_PR_ITERS)
 
 
 # --- triangle counting -------------------------------------------------------
@@ -247,4 +248,5 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
-q_triangle_count.__doc__ = q_triangle_count.__doc__.format(w=_TRI_MIN_W)
+if q_triangle_count.__doc__:  # absent under python -OO
+    q_triangle_count.__doc__ = q_triangle_count.__doc__.format(w=_TRI_MIN_W)

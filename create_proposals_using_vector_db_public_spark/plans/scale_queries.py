@@ -179,9 +179,13 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "value", "event_type"
     )
-    path = (
-        "/tmp/spark_graft_sink/"
-        f"{os.path.basename(sf_dir.rstrip('/'))}/events_by_type"
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sink_{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        "events_by_type",
     )
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path).filter(

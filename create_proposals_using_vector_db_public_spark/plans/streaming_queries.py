@@ -43,14 +43,31 @@ def _events_schema(ts_type: str) -> StructType:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file-stream source requires a DIRECTORY (it watches for new
     # files); testdata is read-only, so stage a symlink to the single
-    # events.parquet in a per-sf temp dir — the "watched folder".
+    # events.parquet in a per-(sf, process) temp dir — the "watched
+    # folder". The pid suffix isolates concurrent sessions (a shared dir
+    # would race on the link AND on checkpoints); within one process the
+    # path is stable, so repeated invocations reuse the stage.
     import os
+    import tempfile
 
-    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    target = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        "events",
+    )
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    # lexists, not exists: a broken symlink must be replaced, not crash
+    # os.symlink; a link pointing at a DIFFERENT sf_dir (same basename,
+    # other tree) must be re-pointed, not silently stream stale data
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
 
     # Probe the batch reader once to learn this Spark's nanos mapping;
     # load_events also pins the UTC session timezone + legacy conf.
@@ -59,7 +76,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(batch.dtypes)["ts"]
     raw = stream_parquet(spark, stage, _events_schema(ts_type))
     if ts_type == "bigint":
-        return raw.withColumn("ts_us", F.expr("ts div 1000"))
+        # FLOOR division (pmod is non-negative) — same pre-epoch-safe
+        # conversion as sources/tables.py load_events; bare `div`
+        # truncates toward zero and diverges by 1µs for negative ts
+        return raw.withColumn(
+            "ts_us", F.expr("(ts - pmod(ts, 1000)) div 1000")
+        )
     return raw.withColumn(
         "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
     ).drop("ts")

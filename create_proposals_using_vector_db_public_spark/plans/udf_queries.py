@@ -41,11 +41,16 @@ def q_udf_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import knn as K
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # embed ONLY the query row to extract the vector — embedding the whole
+    # table here would run the 200-doc UDF twice (once for this head(),
+    # once inside knn)
+    qrow = ml.with_embeddings(
+        d.filter(F.col("doc_id") == 0).select("doc_id", "text"), dim=64
+    ).select("embedding").head()
+    if qrow is None:
+        raise ValueError("q_udf_embed_knn: query document doc_id=0 absent")
+    qv = [float(x) for x in qrow[0]]
     emb = ml.with_embeddings(d.select("doc_id", "text"), dim=64)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("doc_id") == 0).select("embedding").head()[0]
-    ]
     return K.knn(emb.drop("text"), qv, k=5, id_col="doc_id")
 
 
@@ -203,7 +208,10 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             for i, w in enumerate(text.split(" ")):
-                t = w.strip()
+                # strip SPACES only: the oracle's trim() strips spaces,
+                # while bare str.strip() also removes \t\n\r and would
+                # diverge on texts with tab/newline-edged tokens
+                t = w.strip(" ")
                 if t:
                     yield i, t, len(t)
 
