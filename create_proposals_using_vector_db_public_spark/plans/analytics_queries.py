@@ -238,12 +238,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distribution statistics -------------------------------------------------
 
 _PERCENTILE_ORACLE = """
-SELECT event_type,
-       round(quantile_cont(value, 0.5), 6) AS median_value,
-       round(quantile_cont(value, 0.95), 6) AS p95_value,
-       round(stddev_samp(value), 6) AS sd_value
-FROM events
-GROUP BY event_type
+WITH m AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS median_value,
+         round(quantile_cont(value, 0.95), 6) AS p95_value,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY event_type
+)
+SELECT event_type, median_value, p95_value,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100, 6) AS sd_value
+FROM m
 """
 
 
@@ -251,12 +258,26 @@ GROUP BY event_type
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`). At 100 TB switch to approx_percentile —
-    sketch-mergeable, no full sort; kept exact here for the value check."""
+    sketch-mergeable, no full sort; kept exact here for the value check.
+
+    The stddev comes from exact integer-cent moment sums + one shared
+    double formula, NOT stddev_samp: raw variance states accumulate in
+    engine-specific order and can flip the 6th decimal at a rounding
+    boundary — the exact failure mode that bit q_corr_stats in round 1
+    (values are 2dp money-like, so cents are lossless)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    m = e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
-        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.count("*").alias("n"),
+        F.sum(v100).alias("s"),
+        F.sum(v100 * v100).alias("q"),
+    )
+    # identical expression TEXT on both engines (see _PERCENTILE_ORACLE)
+    return m.selectExpr(
+        "event_type", "median_value", "p95_value",
+        "round(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100, 6) AS sd_value",
     )
 
 

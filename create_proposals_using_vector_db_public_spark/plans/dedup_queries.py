@@ -24,8 +24,11 @@ from .duck import d_cosine, dd, d_words
 from .registry import query
 
 NEAR_SUFFIX = " extra appended tail"
-NUM_HASHES = 8
-BANDS = 2
+# aliased to the operator module's values — the Spark side calls
+# D.minhash_dedup_pairs with ITS defaults, so a second copy here could
+# silently diverge when the production-recall config (128/16) lands
+NUM_HASHES = D.MINHASH_NUM_HASHES
+BANDS = D.MINHASH_BANDS
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

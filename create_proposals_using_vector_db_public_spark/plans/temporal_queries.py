@@ -83,11 +83,11 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_us") + 86_400_000_000).alias("w_end"),
     )
     errs = e.filter(F.col("event_type") == "error").select(
-        F.col("user_id").alias("e_user"), F.col("ts_us").alias("e_ts")
+        "user_id", F.col("ts_us").alias("e_ts")
     )
     out = J.range_join_count(
         windows,
-        errs.withColumnRenamed("e_user", "user_id"),
+        errs,
         key_cols=["user_id"],
         window_start="w_start",
         window_end="w_end",

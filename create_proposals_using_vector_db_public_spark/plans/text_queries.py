@@ -301,7 +301,9 @@ def q_comma_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text analysis (north-star family) --------------------------------------
 
-_EN_SW_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for']"
+# generated from the ONE Spark-side list (functions.text._EN_STOPWORDS)
+# so the oracle can never drift from the engine — the d_words() rule
+_EN_SW_SQL = "[" + ", ".join(f"'{w}'" for w in T._EN_STOPWORDS) + "]"
 
 _QUALITY_ORACLE = f"""
 WITH w AS (
@@ -350,8 +352,9 @@ WITH w AS (
 )
 SELECT doc_id,
        CAST(len(words) AS BIGINT) AS word_cnt,
-       CAST(list_sum(list_transform(words,
-         t -> CAST(ceil(length(t) / 4.0) AS INTEGER))) AS BIGINT) AS bpe_ish_tokens
+       CAST(coalesce(list_sum(list_transform(words,
+         t -> CAST(ceil(length(t) / 4.0) AS INTEGER))), 0) AS BIGINT)
+         AS bpe_ish_tokens
 FROM w
 """
 

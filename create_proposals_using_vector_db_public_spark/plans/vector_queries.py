@@ -458,8 +458,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_vec(spark, sf_dir, 11), _PQ_NSUB, _PQ_SUBDIM, k=10,
     )
     return hits.join(
-        F.broadcast(load_table(spark, sf_dir, "embeddings").select("vec_id", "label")),
-        "vec_id",
+        F.broadcast(emb.select("vec_id", "label")), "vec_id"
     ).select("vec_id", "label", "adist", "rank").orderBy("rank")
 
 
