@@ -28,6 +28,7 @@ from . import (  # noqa: F401,E402
     maintenance_queries,  # CDC apply, zone-map pruning, compaction
     graph_queries,      # co-order graph: degree, integer PageRank, triangles
     subquery_queries,   # correlated-subquery decorrelation (Q4/Q17/Q20 shapes)
+    olap_queries,       # round-2 batch 6: Q2/Q8/Q12/Q14/Q15/Q18/Q22 shapes
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
@@ -63,6 +64,10 @@ _PRIORITY = [
     # entries above when the harness caps at 50 ----
     # round-2 batch 5: decorrelation suite, interval overlap, time rollup,
     # CMS sketch, domain mixing
+    # round-2 batch 6: classic OLAP shapes (Q15/Q18/Q2/Q22/Q14/Q12/Q8)
+    "q_top_revenue", "q_large_orders", "q_min_cost_supplier",
+    "q_cust_no_orders", "q_promo_share", "q_priority_mix", "q_market_share",
+    "q_collocations",
     "q_exists_corr", "q_avg_subquery", "q_nested_in", "q_interval_overlap",
     "q_time_rollup", "q_cms_heavy", "q_domain_mix", "q_multimodal_meta",
     "q_ols", "q_contingency", "q_multimodal_frames", "q_skyline",

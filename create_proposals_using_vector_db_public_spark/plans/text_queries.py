@@ -406,3 +406,98 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# --- bigram collocations (association lift) ----------------------------------
+
+_COLLOC_ORACLE = f"""
+WITH w AS (
+  SELECT {_WORDS} AS words FROM documents
+), bg AS (
+  SELECT unnest(list_filter(list_zip(words, words[2:]),
+                            p -> p[2] IS NOT NULL)) AS p
+  FROM w
+), pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY 1, 2
+), ucnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS w FROM w) GROUP BY w
+), tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS nb FROM pairs),
+   tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ucnt)
+SELECT w1, w2, n_pair,
+       round((CAST(n_pair AS DOUBLE) / nb)
+             / ((CAST(u1.c AS DOUBLE) / t) * (CAST(u2.c AS DOUBLE) / t)),
+             6) AS lift
+FROM pairs
+JOIN ucnt u1 ON u1.w = pairs.w1
+JOIN ucnt u2 ON u2.w = pairs.w2, tot, tt
+WHERE n_pair >= 5
+"""
+
+
+@query("q_collocations", oracle=_COLLOC_ORACLE)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by association lift — the phrase-detection
+    pass (word2vec-style "new_york" merging) a training-data pipeline runs
+    before tokenizer training. lift = P(w1w2) / (P(w1)·P(w2)); >1 means the
+    pair co-occurs more than independence predicts.
+
+    Scale shape: bigrams come from an array-local zip (zip the token array
+    against its own tail — narrow, no self-join, no shuffle of positions),
+    so the only shuffles are the two counting aggregates; the unigram
+    table (vocab-sized) broadcasts back onto pair counts, and the two
+    global totals are 1-row broadcast cross joins. Float discipline: all
+    counts are exact BIGINTs; the lift is computed with the identical
+    divide/multiply tree on both engines and rounded to 6dp — no
+    order-dependent accumulation anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens(F.col("text")).alias("words"))
+    bigrams = toks.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("words"),
+                    F.slice(
+                        "words", 2, F.greatest(F.size("words") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+                lambda p: p["w2"].isNotNull(),
+            )
+        ).alias("p")
+    )
+    pairs = (
+        bigrams.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ucnt = (
+        toks.select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nb = pairs.agg(F.sum("n_pair").alias("nb"))
+    tt = ucnt.agg(F.sum("c").alias("t"))
+    u1 = ucnt.select(F.col("w").alias("u1_w"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("u2_w"), F.col("c").alias("c2"))
+    return (
+        pairs.filter(F.col("n_pair") >= 5)
+        .join(F.broadcast(u1), F.col("w1") == F.col("u1_w"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2_w"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                (F.col("n_pair").cast("double") / F.col("nb"))
+                / (
+                    (F.col("c1").cast("double") / F.col("t"))
+                    * (F.col("c2").cast("double") / F.col("t"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

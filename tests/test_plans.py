@@ -89,3 +89,30 @@ def test_agg_is_partial_plus_final(spark):
 def test_semi_join_for_exists(spark):
     p = plan_of(spark, "q_exists_corr")
     assert "LeftSemi" in p
+
+
+def test_market_share_star_broadcasts_all_dims(spark):
+    """TPC-H Q8 shape: every dimension must broadcast — the only
+    sort-merge-eligible edge is lineitem⋈orders, so at most one
+    SortMergeJoin may appear in the plan."""
+    p = plan_of(spark, "q_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_top_revenue_aggregates_before_joins(spark):
+    """Q15 shape: the date predicate reaches the scan and the revenue
+    aggregate is partial+final (shuffle carries |suppliers| rows)."""
+    p = plan_of(spark, "q_top_revenue")
+    assert "PushedFilters: [" in p
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_large_orders_having_prunes_before_join(spark):
+    """Q18 shape: the quantity HAVING aggregate must be partial+final and
+    no nested-loop join may appear."""
+    p = plan_of(spark, "q_large_orders")
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
