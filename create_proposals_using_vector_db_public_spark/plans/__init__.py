@@ -68,6 +68,8 @@ _PRIORITY = [
     "q_top_revenue", "q_large_orders", "q_min_cost_supplier",
     "q_cust_no_orders", "q_promo_share", "q_priority_mix", "q_market_share",
     "q_collocations",
+    # gained a real oracle this round (counts are arrival-order independent)
+    "q_stream_dedup",
     "q_exists_corr", "q_avg_subquery", "q_nested_in", "q_interval_overlap",
     "q_time_rollup", "q_cms_heavy", "q_domain_mix", "q_multimodal_meta",
     "q_ols", "q_contingency", "q_multimodal_frames", "q_skyline",
@@ -88,7 +90,7 @@ _PRIORITY = [
     # rows-only by design (no oracle → weaker driver check): placed after
     # every oracle-bearing query so a bounded window spends its slots on
     # hash-checkable evidence first
-    "q_stream_dedup", "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
+    "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
     "q_multimodal_features",
 ]
 

@@ -4,7 +4,9 @@
 q_stream_tumbling carries a full DuckDB oracle: with AvailableNow every
 row is in one logical run and complete-mode output emits every window, so
 the streaming result equals the batch tumbling aggregation exactly.
-q_stream_dedup is rows-only (kept-row identity depends on arrival order)."""
+q_stream_dedup declares counts per event_type, which are arrival-order
+independent (kept-row *identity* is not, so the query never exposes it) —
+so it, too, carries a full oracle."""
 
 from __future__ import annotations
 
@@ -246,11 +248,21 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return available_now_to_memory(agg, output_mode="complete")
 
 
-@query("q_stream_dedup")  # rows-only: kept row depends on arrival order
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on a compound key — R9's duplicate
-    skip with watermark-bounded state. Counted per event_type so the result
-    shape is stable even though kept-row identity is arrival-dependent."""
+    skip with watermark-bounded state. Counted per event_type: WHICH row
+    survives depends on arrival order, but HOW MANY survive does not (one
+    per distinct (user_id, event_type) — the 365-day delay spans the whole
+    fixture, so no state eviction can double-count), which makes the
+    declared result equal to a batch count(DISTINCT user_id) per type and
+    therefore fully oracle-checkable."""
     ev = _events_stream(spark, sf_dir).withColumn(
         "ts_t", F.timestamp_micros(F.col("ts_us"))
     )
