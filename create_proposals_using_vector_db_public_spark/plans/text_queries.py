@@ -445,12 +445,17 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigrams come from an array-local zip (zip the token array
     against its own tail — narrow, no self-join, no shuffle of positions),
-    so the only shuffles are the two counting aggregates; the unigram
-    table (vocab-sized) broadcasts back onto pair counts, and the two
-    global totals are 1-row broadcast cross joins. Float discipline: all
-    counts are exact BIGINTs; the lift is computed with the identical
-    divide/multiply tree on both engines and rounded to 6dp — no
-    order-dependent accumulation anywhere."""
+    so the only shuffles are the two counting aggregates. The global
+    totals (nb, t) are whole-table window sums over the ALREADY-AGGREGATED
+    pair/unigram tables — vocabulary-sized, so the single-partition window
+    is bounded by |vocab|², never by the corpus — rather than separate
+    .agg() branches, which would re-scan the 100 TB text column once per
+    derived total (the first cut of this query read documents 10×; this
+    form reads it twice: once per counting aggregate). The unigram table
+    broadcasts back onto pair counts. Float discipline: all counts are
+    exact BIGINTs; the lift is computed with the identical divide/multiply
+    tree on both engines and rounded to 6dp — no order-dependent
+    accumulation anywhere."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(T.tokens(F.col("text")).alias("words"))
     bigrams = toks.select(
@@ -467,26 +472,27 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
+    everything = Window.partitionBy()
     pairs = (
         bigrams.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
+        .withColumn("nb", F.sum("n_pair").over(everything))
     )
     ucnt = (
         toks.select(F.explode("words").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .withColumn("t", F.sum("c").over(everything))
     )
-    nb = pairs.agg(F.sum("n_pair").alias("nb"))
-    tt = ucnt.agg(F.sum("c").alias("t"))
-    u1 = ucnt.select(F.col("w").alias("u1_w"), F.col("c").alias("c1"))
+    u1 = ucnt.select(
+        F.col("w").alias("u1_w"), F.col("c").alias("c1"), "t"
+    )
     u2 = ucnt.select(F.col("w").alias("u2_w"), F.col("c").alias("c2"))
     return (
         pairs.filter(F.col("n_pair") >= 5)
         .join(F.broadcast(u1), F.col("w1") == F.col("u1_w"))
         .join(F.broadcast(u2), F.col("w2") == F.col("u2_w"))
-        .crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(tt))
         .select(
             "w1",
             "w2",
