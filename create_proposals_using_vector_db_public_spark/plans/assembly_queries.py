@@ -438,3 +438,101 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
         )
     )
+
+
+# --- BPE merge-pair induction (first tokenizer-training iteration) -----------
+
+_BPE_ORACLE = f"""
+WITH w AS (
+  SELECT unnest({_WORDS_SQL}) AS wd FROM documents
+), wt AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY wd
+), sym AS (
+  SELECT cnt,
+         list_transform(generate_series(1, length(wd)),
+                        i -> substr(wd, i, 1)) || ['</w>'] AS chars
+  FROM wt
+), pr AS (
+  SELECT unnest(list_filter(list_zip(chars, chars[2:]),
+                            p -> p[2] IS NOT NULL)) AS p,
+         cnt
+  FROM sym
+), agg AS (
+  SELECT p[1] AS sym1, p[2] AS sym2, CAST(sum(cnt) AS BIGINT) AS pair_freq
+  FROM pr GROUP BY 1, 2
+)
+SELECT sym1, sym2, pair_freq, merge_rank FROM (
+  SELECT sym1, sym2, pair_freq,
+         CAST(row_number() OVER (
+           ORDER BY pair_freq DESC, sym1 ASC, sym2 ASC
+         ) AS INTEGER) AS merge_rank
+  FROM agg
+) ranked WHERE merge_rank <= 20
+"""
+
+
+@query("q_bpe_merges", oracle=_BPE_ORACLE)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-table iteration (Sennrich et al. 2016): count
+    adjacent symbol pairs across word TYPES weighted by word frequency
+    (each word carries an end-of-word marker), rank the top-20 merge
+    candidates. Subsequent iterations depend on the chosen merge
+    (inherently sequential — they would re-run this same plan over the
+    re-segmented symbol table), so the declared query is the one
+    iteration, which is also the expensive one.
+
+    Scale shape: the corpus collapses to the word-TYPE table in the first
+    aggregate (vocabulary-sized — Heaps' law, millions of rows at 100 TB,
+    not billions), and everything after (char split, zip, pair count,
+    rank) runs on types. The char split is array-local via
+    substr-over-sequence (identical semantics on both engines — regex
+    empty-pattern splits differ between them); pair weighting multiplies
+    nothing: it sums the exact BIGINT type frequencies. The final global
+    row_number window sorts the character-pair table (|alphabet|² rows) on
+    one partition — bounded by the symbol inventory, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = wt.select(
+        "cnt",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("wd")),
+                lambda i: F.col("wd").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("chars"),
+    )
+    pairs = sym.select(
+        "cnt",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("chars"),
+                    F.slice(
+                        "chars", 2, F.greatest(F.size("chars") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+                ),
+                lambda p: p["s2"].isNotNull(),
+            )
+        ).alias("p"),
+    )
+    agg = (
+        pairs.select(
+            F.col("p.s1").alias("sym1"), F.col("p.s2").alias("sym2"), "cnt"
+        )
+        .groupBy("sym1", "sym2")
+        .agg(F.sum("cnt").alias("pair_freq"))
+    )
+    w = Window.orderBy(
+        F.col("pair_freq").desc(), F.col("sym1").asc(), F.col("sym2").asc()
+    )
+    return (
+        agg.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= 20)
+        .select("sym1", "sym2", "pair_freq", "merge_rank")
+    )
