@@ -299,3 +299,131 @@ def q_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_terms") == len(_SEARCH_TERMS))
     )
     return hits.join(docs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+# --- data-quality audit (FK orphans + rule violations) -----------------------
+
+_DQ_ORACLE = """
+SELECT 'fk_lineitem_orders' AS check_name,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'fk_lineitem_part',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'fk_orders_customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'fk_customer_nation',
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+UNION ALL
+SELECT 'rule_discount_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0.0 OR l_discount > 1.0) AS BIGINT)
+UNION ALL
+SELECT 'rule_price_positive',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_extendedprice <= 0.0) AS BIGINT)
+UNION ALL
+SELECT 'rule_ship_not_before_order',
+       CAST((SELECT count(*) FROM lineitem l JOIN orders o
+             ON o.o_orderkey = l.l_orderkey
+             WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+UNION ALL
+SELECT 'rule_quantity_positive',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0) AS BIGINT)
+"""
+
+
+@query("q_dq_audit", oracle=_DQ_ORACLE)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite: referential-integrity orphan counts over
+    the star schema's FK edges (left-anti joins) plus domain-rule
+    violation counts (range/positivity/temporal-order predicates) — the
+    ingest gate a pipeline runs before promoting a snapshot, in one
+    long-format result (check_name, n_violations).
+
+    Scale shape: each FK check is an anti-join whose build side is the
+    parent KEY column only; the dimension parents (part, customer,
+    nation) broadcast, so only the lineitem⋈orders pair among the checks
+    pays a real shuffle — and the rule checks are scan-local predicate
+    counts that AQE folds into one pass per table. Non-vacuousness: the
+    fixture data is clean by construction, so most checks count 0 — the
+    audit asserting zero IS the production use; the ship-before-order
+    rule is the one with real violations at every SF, keeping the oracle
+    comparison sensitive to logic drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    def count_of(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        count_of(
+            "fk_lineitem_orders",
+            li.join(
+                o.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        count_of(
+            "fk_lineitem_part",
+            li.join(
+                F.broadcast(p.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"),
+                "left_anti",
+            ),
+        ),
+        count_of(
+            "fk_orders_customer",
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                o["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        count_of(
+            "fk_customer_nation",
+            c.join(
+                F.broadcast(n.select("n_nationkey")),
+                c["c_nationkey"] == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+        count_of(
+            "rule_discount_range",
+            li.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)),
+        ),
+        count_of(
+            "rule_price_positive", li.filter(F.col("l_extendedprice") <= 0.0)
+        ),
+        count_of(
+            "rule_ship_not_before_order",
+            li.join(
+                o.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+            ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        ),
+        count_of(
+            "rule_quantity_positive", li.filter(F.col("l_quantity") <= 0.0)
+        ),
+    ]
+    out = checks[0]
+    for extra in checks[1:]:
+        out = out.unionByName(extra)
+    return out
