@@ -354,8 +354,11 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each FK check is an anti-join whose build side is the
     parent KEY column only; the dimension parents (part, customer,
     nation) broadcast, so only the lineitem⋈orders pair among the checks
-    pays a real shuffle — and the rule checks are scan-local predicate
-    counts that AQE folds into one pass per table. Non-vacuousness: the
+    pays a real shuffle. The three scan-local rule predicates are
+    computed as conditional sums in ONE aggregate pass over lineitem and
+    unpivoted to long format (separate count branches would each re-scan
+    the table — Spark does not merge sibling aggregates). Non-vacuousness:
+    the
     fixture data is clean by construction, so most checks count 0 — the
     audit asserting zero IS the production use; the ship-before-order
     rule is the one with real violations at every SF, keeping the oracle
@@ -405,12 +408,28 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_anti",
             ),
         ),
-        count_of(
-            "rule_discount_range",
-            li.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)),
-        ),
-        count_of(
-            "rule_price_positive", li.filter(F.col("l_extendedprice") <= 0.0)
+        # one scan, three conditional counts, unpivoted to long format
+        li.agg(
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0),
+                    1,
+                ).otherwise(0)
+            ).alias("rule_discount_range"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= 0.0, 1).otherwise(0)
+            ).alias("rule_price_positive"),
+            F.sum(
+                F.when(F.col("l_quantity") <= 0.0, 1).otherwise(0)
+            ).alias("rule_quantity_positive"),
+        ).select(
+            F.expr(
+                "stack(3, "
+                "'rule_discount_range', rule_discount_range, "
+                "'rule_price_positive', rule_price_positive, "
+                "'rule_quantity_positive', rule_quantity_positive) "
+                "AS (check_name, n_violations)"
+            )
         ),
         count_of(
             "rule_ship_not_before_order",
@@ -418,9 +437,6 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 o.select("o_orderkey", "o_orderdate"),
                 li["l_orderkey"] == F.col("o_orderkey"),
             ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
-        ),
-        count_of(
-            "rule_quantity_positive", li.filter(F.col("l_quantity") <= 0.0)
         ),
     ]
     out = checks[0]
