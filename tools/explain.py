@@ -39,6 +39,14 @@ NAMES = sys.argv[2:] or [
     "q_cms_heavy",
     "q_domain_mix",
     "q_ols",
+    # round-2 batch 6
+    "q_top_revenue",
+    "q_large_orders",
+    "q_min_cost_supplier",
+    "q_market_share",
+    "q_collocations",
+    "q_bpe_merges",
+    "q_dq_audit",
 ]
 
 
