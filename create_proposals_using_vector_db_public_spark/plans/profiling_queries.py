@@ -351,95 +351,84 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest gate a pipeline runs before promoting a snapshot, in one
     long-format result (check_name, n_violations).
 
-    Scale shape: each FK check is an anti-join whose build side is the
-    parent KEY column only; the dimension parents (part, customer,
-    nation) broadcast, so only the lineitem⋈orders pair among the checks
-    pays a real shuffle. The three scan-local rule predicates are
-    computed as conditional sums in ONE aggregate pass over lineitem and
-    unpivoted to long format (separate count branches would each re-scan
-    the table — Spark does not merge sibling aggregates). Non-vacuousness:
-    the
-    fixture data is clean by construction, so most checks count 0 — the
-    audit asserting zero IS the production use; the ship-before-order
-    rule is the one with real violations at every SF, keeping the oracle
-    comparison sensitive to logic drift."""
+    Scale shape: ONE pass per audited child table. All six lineitem
+    checks (two FK orphan counts, three domain rules, the ship-date
+    order) fold into a single scan: left-join the orders keys (the one
+    real shuffle) and the broadcast part keys, then six conditional sums
+    in one aggregate, unpivoted to long format. Separate per-check count
+    branches would re-scan lineitem once each — Spark does not merge
+    sibling aggregates. Orders and customer each get their own
+    single-pass branch with a broadcast parent. The oracle keeps the
+    textbook one-subquery-per-check formulation, proving the fused plan
+    equivalent. Non-vacuousness: the fixture data is clean by
+    construction, so most checks count 0 — the audit asserting zero IS
+    the production use; the ship-before-order rule has real violations at
+    every SF, keeping the oracle comparison sensitive to logic drift."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     p = load_table(spark, sf_dir, "part")
     n = load_table(spark, sf_dir, "nation")
 
-    def count_of(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count(F.lit(1)).alias("n_violations"),
+    def flag(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    def unpivot(agged: DataFrame, names: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{x}', {x}" for x in names)
+        return agged.select(
+            F.expr(
+                f"stack({len(names)}, {pairs}) AS (check_name, n_violations)"
+            )
         )
 
-    checks = [
-        count_of(
-            "fk_lineitem_orders",
-            li.join(
-                o.select("o_orderkey"),
-                li["l_orderkey"] == F.col("o_orderkey"),
-                "left_anti",
-            ),
-        ),
-        count_of(
-            "fk_lineitem_part",
-            li.join(
-                F.broadcast(p.select("p_partkey")),
-                li["l_partkey"] == F.col("p_partkey"),
-                "left_anti",
-            ),
-        ),
-        count_of(
-            "fk_orders_customer",
-            o.join(
-                F.broadcast(c.select("c_custkey")),
-                o["o_custkey"] == F.col("c_custkey"),
-                "left_anti",
-            ),
-        ),
-        count_of(
-            "fk_customer_nation",
-            c.join(
-                F.broadcast(n.select("n_nationkey")),
-                c["c_nationkey"] == F.col("n_nationkey"),
-                "left_anti",
-            ),
-        ),
-        # one scan, three conditional counts, unpivoted to long format
-        li.agg(
-            F.sum(
-                F.when(
-                    (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0),
-                    1,
-                ).otherwise(0)
+    li_pass = unpivot(
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left",
+        )
+        .agg(
+            flag(F.col("o_orderkey").isNull()).alias("fk_lineitem_orders"),
+            flag(F.col("p_partkey").isNull()).alias("fk_lineitem_part"),
+            flag(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)
             ).alias("rule_discount_range"),
-            F.sum(
-                F.when(F.col("l_extendedprice") <= 0.0, 1).otherwise(0)
-            ).alias("rule_price_positive"),
-            F.sum(
-                F.when(F.col("l_quantity") <= 0.0, 1).otherwise(0)
-            ).alias("rule_quantity_positive"),
-        ).select(
-            F.expr(
-                "stack(3, "
-                "'rule_discount_range', rule_discount_range, "
-                "'rule_price_positive', rule_price_positive, "
-                "'rule_quantity_positive', rule_quantity_positive) "
-                "AS (check_name, n_violations)"
-            )
+            flag(F.col("l_extendedprice") <= 0.0).alias("rule_price_positive"),
+            flag(F.col("l_quantity") <= 0.0).alias("rule_quantity_positive"),
+            # NULL o_orderdate (orphan) compares to false -> not counted,
+            # matching the oracle's inner-join formulation
+            flag(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+                "rule_ship_not_before_order"
+            ),
         ),
-        count_of(
+        [
+            "fk_lineitem_orders",
+            "fk_lineitem_part",
+            "rule_discount_range",
+            "rule_price_positive",
+            "rule_quantity_positive",
             "rule_ship_not_before_order",
-            li.join(
-                o.select("o_orderkey", "o_orderdate"),
-                li["l_orderkey"] == F.col("o_orderkey"),
-            ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
-        ),
-    ]
-    out = checks[0]
-    for extra in checks[1:]:
-        out = out.unionByName(extra)
-    return out
+        ],
+    )
+    o_pass = unpivot(
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left",
+        ).agg(flag(F.col("c_custkey").isNull()).alias("fk_orders_customer")),
+        ["fk_orders_customer"],
+    )
+    c_pass = unpivot(
+        c.join(
+            F.broadcast(n.select("n_nationkey")),
+            c["c_nationkey"] == F.col("n_nationkey"),
+            "left",
+        ).agg(flag(F.col("n_nationkey").isNull()).alias("fk_customer_nation")),
+        ["fk_customer_nation"],
+    )
+    return li_pass.unionByName(o_pass).unionByName(c_pass)
