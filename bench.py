@@ -55,6 +55,12 @@ HEADLINE = [
     "q_avg_subquery",     # decorrelated scalar subquery (Q17 shape)
     "q_interval_overlap", # bucket-blocked interval join
     "q_cms_heavy",        # count-min sketch build + probe
+    # round-2 batch 6
+    "q_market_share",     # TPC-H Q8 seven-table star, dims broadcast
+    "q_large_orders",     # Q18 HAVING-driven join pruning
+    "q_collocations",     # bigram lift, array-local zip
+    "q_bpe_merges",       # BPE merge-pair induction over word types
+    "q_dq_audit",         # fused one-pass-per-table DQ gate
 ]
 
 

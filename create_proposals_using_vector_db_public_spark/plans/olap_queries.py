@@ -404,3 +404,37 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+# --- SQL surface: the same text runs on both engines --------------------------
+
+_NATION_RANK_SQL = """
+WITH nat_rev AS (
+  SELECT n.n_name, n.n_regionkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+           AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, n.n_regionkey
+)
+SELECT r.r_name, nr.n_name,
+       round(CAST(nr.rev AS DOUBLE), 6) AS revenue,
+       CAST(rank() OVER (
+         PARTITION BY r.r_name ORDER BY nr.rev DESC, nr.n_name ASC
+       ) AS INTEGER) AS rk
+FROM nat_rev nr JOIN region r ON r.r_regionkey = nr.n_regionkey
+"""
+
+
+@query("q_sql_interface", oracle=_NATION_RANK_SQL)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: registers the star schema as temp
+    views and executes ONE ANSI-SQL text through spark.sql() — the same
+    text the DuckDB oracle runs verbatim, so this query proves the
+    DataFrame registry and the SQL surface are the same engine (Catalyst
+    compiles both to identical plans; nation revenue ranked within
+    region, decimal-exact, total-order rank tie-break)."""
+    for t in ("lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NATION_RANK_SQL)
