@@ -581,64 +581,81 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- fuzzy (edit-distance) matching ------------------------------------------
 
 _FUZZY_ORACLE = """
-WITH corpus AS (
-  SELECT p_partkey AS id, p_name AS name FROM part
+WITH names AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_records
+  FROM part GROUP BY p_name
+), corpus AS (
+  SELECT name, n_records FROM names
   UNION ALL
-  SELECT p_partkey + 400000, 'x' || substr(p_name, 2)
-  FROM part WHERE p_partkey % 37 = 0
+  SELECT 'x' || substr(name, 2), n_records FROM names
 ), blocked AS (
-  SELECT id, name,
+  SELECT name, n_records,
          length(name) AS blk_len,
          substr(name, length(name) - 3, 4) AS blk_sfx
   FROM corpus
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist,
+       a.n_records AS n_a, b.n_records AS n_b
 FROM blocked a JOIN blocked b
-  ON a.blk_len = b.blk_len AND a.blk_sfx = b.blk_sfx AND a.id < b.id
+  ON a.blk_len = b.blk_len AND a.blk_sfx = b.blk_sfx AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 1
 """
 
 
 @query("q_fuzzy_match", oracle=_FUZZY_ORACLE)
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (edit-distance ≤ 1) record matching with blocking — the
-    entity-resolution pass for names/titles where exact and shingle dedup
-    both miss single-character corruptions. Planted rows corrupt the
-    first character of a deterministic slice, so true matches exist and
-    the oracle reproduces them exactly.
+    """Fuzzy (edit-distance ≤ 1) entity resolution with blocking — the
+    matching pass for names/titles where exact and shingle dedup both
+    miss single-character corruptions. Planted rows corrupt the first
+    character of every distinct name, so true matches exist and the
+    oracle reproduces them exactly.
 
-    Scale shape: NEVER all-pairs — candidates come from an equality
-    block (length, 4-char suffix), which a 1-substitution corruption
-    provably preserves; levenshtein runs only inside blocks. At 100 TB
-    you widen recall with multiple redundant block keys (prefix, suffix,
-    deletion-neighborhood q-grams), each an equality join the engine
-    shuffles hash-partitioned — same shape as the MinHash band join."""
-    p = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    Scale shape, two layers. (1) Resolve DISTINCT NAME STRINGS, not
+    records: records collapse to the name vocabulary first (one
+    partial+final aggregate carrying record counts as weights). The
+    earlier record-pair form of this query was a latent scale bug — with
+    64 distinct names over 20k fixture records, exact-duplicate names
+    pair quadratically and the RESULT was 3.3M rows at sf0.1, growing
+    O(SF²); the name-level result is vocabulary-bounded (~80 rows at
+    every SF), and record-level linkage is an equi-join back through the
+    name column. (2) NEVER all-pairs within the vocabulary either:
+    candidates come from an equality block (length, 4-char suffix), which
+    a 1-substitution corruption provably preserves; levenshtein runs only
+    inside blocks. At 100 TB you widen recall with multiple redundant
+    block keys (prefix, suffix, deletion-neighborhood q-grams), each an
+    equality join the engine shuffles hash-partitioned — same shape as
+    the MinHash band join."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n_records"))
     )
-    planted = p.filter(F.col("id") % 37 == 0).select(
-        (F.col("id") + 400000).alias("id"),
+    planted = names.select(
         F.concat(F.lit("x"), F.expr("substr(name, 2)")).alias("name"),
+        "n_records",
     )
-    corpus = p.unionByName(planted)
+    corpus = names.unionByName(planted)
     blocked = corpus.select(
-        "id", "name",
+        "name", "n_records",
         F.length("name").alias("blk_len"),
         F.expr("substr(name, length(name) - 3, 4)").alias("blk_sfx"),
     )
     a = blocked.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        F.col("name").alias("name_a"), F.col("n_records").alias("n_a"),
         "blk_len", "blk_sfx",
     )
     b = blocked.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("name").alias("name_b"), F.col("n_records").alias("n_b"),
         "blk_len", "blk_sfx",
     )
     dist = F.levenshtein("name_a", "name_b")
     return (
         a.join(b, ["blk_len", "blk_sfx"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
         .filter(dist <= 1)
-        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+        .select(
+            "name_a", "name_b", dist.cast("int").alias("edit_dist"),
+            "n_a", "n_b",
+        )
     )
