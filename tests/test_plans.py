@@ -91,6 +91,14 @@ def test_semi_join_for_exists(spark):
     assert "LeftSemi" in p
 
 
+def test_partitioned_sink_prunes_partitions_at_read(spark):
+    """The hive-partitioned read-back must push the event_type filter into
+    PartitionFilters (directory-level pruning) — not just a row filter."""
+    p = plan_of(spark, "q_partitioned_sink")
+    filt = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert filt and any("event_type" in l for l in filt), filt
+
+
 def test_market_share_star_broadcasts_all_dims(spark):
     """TPC-H Q8 shape: every dimension must broadcast — the only
     sort-merge-eligible edge is lineitem⋈orders, so at most one
