@@ -438,3 +438,50 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_NATION_RANK_SQL)
+
+
+# --- period-over-period growth ------------------------------------------------
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+  FROM orders GROUP BY order_month
+)
+SELECT order_month,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(lag(rev, 1) OVER (ORDER BY order_month) AS DOUBLE),
+             6) AS mom_ratio,
+       round(CAST(rev AS DOUBLE)
+             / CAST(lag(rev, 12) OVER (ORDER BY order_month) AS DOUBLE),
+             6) AS yoy_ratio
+FROM monthly
+"""
+
+
+@query("q_yoy_growth", oracle=_YOY_ORACLE)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with month-over-month
+    and year-over-year ratios via lag(1)/lag(12) windows. The aggregate
+    collapses orders to |months| rows FIRST, so the global-order window
+    (unavoidable for a calendar series) sorts dozens of rows, never the
+    fact table; leading periods yield NULL ratios, as the spec demands.
+    Revenue accumulates in DECIMAL; each ratio is one double divide
+    performed identically on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    w = Window.orderBy("order_month")
+    rev_d = F.col("rev").cast("double")
+    return monthly.select(
+        "order_month",
+        F.round(rev_d, 2).alias("revenue"),
+        F.round(rev_d / F.lag("rev", 1).over(w).cast("double"), 6).alias(
+            "mom_ratio"
+        ),
+        F.round(rev_d / F.lag("rev", 12).over(w).cast("double"), 6).alias(
+            "yoy_ratio"
+        ),
+    )
