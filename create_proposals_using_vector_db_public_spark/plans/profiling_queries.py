@@ -432,3 +432,58 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["fk_customer_nation"],
     )
     return li_pass.unionByName(o_pass).unionByName(c_pass)
+
+
+# --- trigram typicality (n-gram LM scoring without logs) ----------------------
+
+_TRIGRAM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 1000 AND length(text) >= 3
+), occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - 1),
+                               i -> substr(text, i, 3))) AS g
+  FROM d
+), freq AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS f FROM occ GROUP BY g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS typicality
+FROM occ JOIN freq USING (g)
+GROUP BY doc_id
+"""
+
+
+@query("q_trigram_typicality", oracle=_TRIGRAM_ORACLE)
+def q_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram typicality scoring — the n-gram language-model
+    quality signal (gibberish and boilerplate both sit in the tails)
+    computed WITHOUT logarithms: a document's score is the mean corpus
+    frequency of its trigram occurrences. Log-prob scoring is the same
+    plan with log(f/N) in the final projection; libm log differs in the
+    last ulp across engines, so the declared query stays on the
+    integer-mean form that hash-matches exactly (one double divide).
+
+    Scale shape: trigram extraction is array-local (substr over a
+    sequence); the frequency table aggregates (gram, count) pairs —
+    alphabet-bounded, broadcastable — and joins back onto the occurrence
+    stream by gram, so nothing wider than (doc_id, gram) ever shuffles."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 1000) & (F.length("text") >= 3))
+    )
+    occ = d.select(
+        "doc_id", F.explode(T.char_ngrams(F.col("text"), 3)).alias("g")
+    )
+    freq = occ.groupBy("g").agg(F.count("*").alias("f"))
+    return (
+        occ.join(F.broadcast(freq), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(
+                F.sum("f").cast("double") / F.count("*"), 6
+            ).alias("typicality"),
+        )
+    )

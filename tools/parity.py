@@ -106,9 +106,17 @@ def main() -> int:
     exact = "--exact" in args
     if exact:
         args.remove("--exact")
+    # --partitions N: run the whole registry under an adversarial shuffle
+    # partition count — results must be bit-identical at ANY parallelism
+    # (the determinism sweep that catches partition-order-dependent values)
+    partitions = 8
+    if "--partitions" in args:
+        i = args.index("--partitions")
+        partitions = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(QUERIES)
-    spark = get_spark("parity", shuffle_partitions=8)
+    spark = get_spark("parity", shuffle_partitions=partitions)
     con = duck_connect(sf_dir)
     failed = []
     for name in names:
