@@ -574,3 +574,128 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(
         F.broadcast(emb.select("vec_id", "label")), "vec_id"
     ).select("vec_id", "label", "adist", "rank").orderBy("rank")
+
+
+# --- scalar-quantization recall ----------------------------------------------
+
+_SQ_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, {dd("embedding")} AS v FROM embeddings
+), dims AS (
+  -- per-dimension corpus grid; dim count 64 is fixture-verified
+  SELECT u.i AS dim, min(v.v[u.i]) AS lo, max(v.v[u.i]) AS hi
+  FROM v, (SELECT unnest(range(1, 65)) AS i) u
+  GROUP BY u.i
+), qc AS (
+  SELECT v.vec_id, d.dim,
+         CASE WHEN d.hi = d.lo THEN 0
+              ELSE CAST(floor((v.v[d.dim] - d.lo) / (d.hi - d.lo) * 255.0)
+                        AS BIGINT) END AS c
+  FROM v, dims d
+), qq AS (
+  SELECT dim, c FROM qc WHERE vec_id = 11
+), sq_top AS (
+  SELECT a.vec_id
+  FROM qc a JOIN qq ON a.dim = qq.dim
+  GROUP BY a.vec_id
+  ORDER BY sum((a.c - qq.c) * (a.c - qq.c)) ASC, a.vec_id ASC
+  LIMIT 10
+), q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 11
+), exact_top AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY round({d_l2(dd("e.embedding"), "q.qv")}, 6) ASC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(s.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 6) AS recall_at_10
+FROM exact_top e LEFT JOIN sq_top s ON e.vec_id = s.vec_id
+"""
+
+
+@query("q_sq_recall", oracle=_SQ_RECALL_ORACLE)
+def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8 scalar-quantized (SQ8) L2 search against exact
+    kNN — the number that prices 4x vector compression, completing the
+    quantization family (q_quantize_embedding builds codes, this measures
+    what they cost; q_pq_recall / q_ann_recall price PQ and IVF).
+
+    Unlike per-vector min-max (fine for storage), SEARCH needs one global
+    per-dimension grid so quantized distances are comparable across
+    vectors: grid = per-dim corpus min/max (one exploded aggregate,
+    |dims| rows, broadcast back as two arrays); codes and the integer L2
+    distance are then array-local (transform + zip_with/aggregate — the
+    index-binding 2-arg transform lambda), so nothing vector-sized
+    shuffles and the top-10 is a TakeOrdered heap over exact BIGINT
+    distances with a vec_id tie-break. The query vector is quantized
+    through the same in-plan expression, never driver-side, so both
+    engines run the identical float op sequence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double_array("embedding")
+    occ = emb.select(F.posexplode(v).alias("dim", "x"))
+    grid = (
+        occ.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "lo", "hi"))
+            ).alias("g")
+        )
+        .select(
+            F.transform("g", lambda s: s["lo"]).alias("los"),
+            F.transform("g", lambda s: s["hi"]).alias("his"),
+        )
+    )
+
+    def codes() -> F.Column:
+        # 0-based transform index i -> 1-based element_at
+        def one(x, i):
+            lo = F.element_at("los", i + F.lit(1))
+            hi = F.element_at("his", i + F.lit(1))
+            return (
+                F.when(hi == lo, F.lit(0).cast("long"))
+                .otherwise(
+                    F.floor((x - lo) / (hi - lo) * 255.0).cast("long")
+                )
+            )
+
+        return F.transform(v, one)
+
+    base = emb.crossJoin(F.broadcast(grid)).select(
+        "vec_id", codes().alias("codes")
+    )
+    qcodes = (
+        base.filter(F.col("vec_id") == 11)
+        .select(F.col("codes").alias("qcodes"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("qcodes"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq_top = (
+        base.crossJoin(F.broadcast(qcodes))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(F.col("vec_id").alias("sq_vec_id"))
+    )
+    exact_top = K.knn(emb, _query_vec(spark, sf_dir, 11), k=10).select(
+        "vec_id"
+    )
+    hit = exact_top.join(
+        F.broadcast(sq_top),
+        exact_top["vec_id"] == sq_top["sq_vec_id"],
+        "left",
+    )
+    return hit.agg(
+        F.count("*").alias("n_exact"),
+        F.count("sq_vec_id").alias("n_hit"),
+        F.round(
+            F.count("sq_vec_id").cast("double") / F.count("*"), 6
+        ).alias("recall_at_10"),
+    )
