@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import revenue_decimal
 from ..sources import load_table
 from .registry import query
 
@@ -159,11 +160,7 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            ).cast("double"),
+            F.sum(revenue_decimal()).cast("double"),
             6,
         ).alias("revenue"),
     )
@@ -215,6 +212,9 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{_uuid.uuid4().hex[:8]}",
     )
     small, big = f"{base}/small", f"{base}/big"
+    # expose the per-invocation staging dir for tests: re-deriving it by
+    # glob+mtime re-opens the concurrent-session race the uuid fixed
+    q_compaction.last_base = base
     # pathological layout: 64 tiny files
     src.repartition(64).write.mode("overwrite").parquet(small)
     # compaction: no shuffle — AQE-style partition merge down to 2 files

@@ -25,18 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import revenue_decimal as _rev
 from ..sources import load_table
 from .registry import query
-
-# revenue expression both engines compute identically: one double multiply
-# per row, then an exact decimal accumulation
-def _rev() -> F.Column:
-    """Per-row revenue: one IEEE double multiply, then exact decimal
-    accumulation (requires an active session — Column creation is lazy in
-    PySpark 4 classic)."""
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
 
 # --- Q15 shape: top-revenue supplier(s) --------------------------------------
 
@@ -58,10 +49,13 @@ WHERE rev.r = (SELECT max(r) FROM rev)
 @query("q_top_revenue", oracle=_TOP_REVENUE_ORACLE)
 def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) whose half-year revenue equals the
-    global maximum. The revenue view aggregates once (partial agg keeps the
-    shuffle at |suppliers| rows), the global max is a 1-row broadcast, and
-    the equality filter + supplier join are both broadcast-side — so the
-    whole query is one real shuffle regardless of lineitem size. Revenue
+    global maximum. The revenue view aggregates once (partial agg keeps
+    the shuffle at |suppliers| rows); the global max is a whole-table
+    window over that ALREADY-AGGREGATED |suppliers|-sized table — a
+    separate rev.agg(max) branch would recompute rev's whole lineage and
+    scan lineitem twice (the first cut did; the captured plan showed two
+    fact scans with no exchange reuse) — and the supplier join is
+    broadcast. One fact scan, one real shuffle, at any scale. Revenue
     stays DECIMAL end-to-end: the max-equality can never miss on float
     summation order (ties return every tied supplier, same as the spec)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -69,11 +63,12 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1996-07-01")
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("r"))
-    top = rev.agg(F.max("r").alias("r_max"))
+    top = rev.withColumn(
+        "r_max", F.max("r").over(Window.partitionBy())
+    ).filter(F.col("r") == F.col("r_max"))
     s = load_table(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(top), rev["r"] == top["r_max"])
-        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -408,14 +403,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SQL surface: the same text runs on both engines --------------------------
 
-_NATION_RANK_SQL = """
+_NATION_RANK_TEMPLATE = """
 WITH nat_rev AS (
   SELECT n.n_name, n.n_regionkey,
          sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
            AS rev
-  FROM lineitem l
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  FROM {lineitem} l
+  JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+  JOIN {nation} n ON n.n_nationkey = s.s_nationkey
   GROUP BY n.n_name, n.n_regionkey
 )
 SELECT r.r_name, nr.n_name,
@@ -423,21 +418,37 @@ SELECT r.r_name, nr.n_name,
        CAST(rank() OVER (
          PARTITION BY r.r_name ORDER BY nr.rev DESC, nr.n_name ASC
        ) AS INTEGER) AS rk
-FROM nat_rev nr JOIN region r ON r.r_regionkey = nr.n_regionkey
+FROM nat_rev nr JOIN {region} r ON r.r_regionkey = nr.n_regionkey
 """
 
+_SQL_TABLES = ("lineitem", "supplier", "nation", "region")
 
-@query("q_sql_interface", oracle=_NATION_RANK_SQL)
+
+@query(
+    "q_sql_interface",
+    oracle=_NATION_RANK_TEMPLATE.format(**{t: t for t in _SQL_TABLES}),
+)
 def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL entry point: registers the star schema as temp
     views and executes ONE ANSI-SQL text through spark.sql() — the same
-    text the DuckDB oracle runs verbatim, so this query proves the
-    DataFrame registry and the SQL surface are the same engine (Catalyst
-    compiles both to identical plans; nation revenue ranked within
-    region, decimal-exact, total-order rank tie-break)."""
-    for t in ("lineitem", "supplier", "nation", "region"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_NATION_RANK_SQL)
+    text the DuckDB oracle runs, so this query proves the DataFrame
+    registry and the SQL surface are the same engine (nation revenue
+    ranked within region, decimal-exact, total-order rank tie-break).
+    The Spark views follow the repo's __-prefix isolation convention
+    (bare names like `lineitem` would linger session-globally and
+    silently pin one sf_dir's data for any later bare-name resolution),
+    so the shared text is a template instantiated with bare names for
+    DuckDB and namespaced views for Spark — identical SQL modulo the
+    deterministic table-name substitution."""
+    for t in _SQL_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"__sqlsurface_{t}"
+        )
+    return spark.sql(
+        _NATION_RANK_TEMPLATE.format(
+            **{t: f"__sqlsurface_{t}" for t in _SQL_TABLES}
+        )
+    )
 
 
 # --- period-over-period growth ------------------------------------------------

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.money import revenue_decimal
 from ..sources import load_table
 from .registry import query
 
@@ -876,11 +877,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("n_name").agg(
         F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            ).cast("double"),
+            F.sum(revenue_decimal()).cast("double"),
             6,
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),

@@ -445,17 +445,17 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigrams come from an array-local zip (zip the token array
     against its own tail — narrow, no self-join, no shuffle of positions),
-    so the only shuffles are the two counting aggregates. The global
-    totals (nb, t) are whole-table window sums over the ALREADY-AGGREGATED
-    pair/unigram tables — vocabulary-sized, so the single-partition window
-    is bounded by |vocab|², never by the corpus — rather than separate
-    .agg() branches, which would re-scan the 100 TB text column once per
-    derived total (the first cut of this query read documents 10×; this
-    form reads it twice: once per counting aggregate). The unigram table
-    broadcasts back onto pair counts. Float discipline: all counts are
-    exact BIGINTs; the lift is computed with the identical divide/multiply
-    tree on both engines and rounded to 6dp — no order-dependent
-    accumulation anywhere."""
+    so the only shuffles are the two counting aggregates, and the corpus
+    is scanned exactly twice — once per counting aggregate (the first cut
+    read documents 10×: every derived total was its own .agg() branch and
+    Spark re-scans per sibling aggregate). nb is a whole-table window sum
+    over the ALREADY-AGGREGATED pair table (bounded by |vocab|², never the
+    corpus); both unigram lookups come from one 1-row broadcast map built
+    from the unigram aggregate (two aliased broadcast-join copies of the
+    same aggregate do not canonicalize to a ReusedExchange — measured).
+    Float discipline: all counts are exact BIGINTs; the lift is computed
+    with the identical divide/multiply tree on both engines and rounded to
+    6dp — no order-dependent accumulation anywhere."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(T.tokens(F.col("text")).alias("words"))
     bigrams = toks.select(
@@ -472,27 +472,35 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
-    everything = Window.partitionBy()
     pairs = (
         bigrams.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
-        .withColumn("nb", F.sum("n_pair").over(everything))
+        .withColumn("nb", F.sum("n_pair").over(Window.partitionBy()))
     )
-    ucnt = (
+    # BOTH unigram lookups (w1 and w2) come from ONE vocabulary lineage:
+    # a 1-row broadcast map. Two aliased broadcast-join copies of the
+    # unigram aggregate do NOT canonicalize to a ReusedExchange (measured:
+    # the second join recomputed the whole corpus scan), and a broadcast
+    # map is exactly what a broadcast hash join materializes anyway —
+    # vocabulary-bounded. Total: two corpus scans, one per counting
+    # aggregate.
+    umap = (
         toks.select(F.explode("words").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        .withColumn("t", F.sum("c").over(everything))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "c"))
+            ).alias("ucnt"),
+            F.sum("c").alias("t"),
+        )
     )
-    u1 = ucnt.select(
-        F.col("w").alias("u1_w"), F.col("c").alias("c1"), "t"
-    )
-    u2 = ucnt.select(F.col("w").alias("u2_w"), F.col("c").alias("c2"))
     return (
         pairs.filter(F.col("n_pair") >= 5)
-        .join(F.broadcast(u1), F.col("w1") == F.col("u1_w"))
-        .join(F.broadcast(u2), F.col("w2") == F.col("u2_w"))
+        .crossJoin(F.broadcast(umap))
+        .withColumn("c1", F.element_at("ucnt", F.col("w1")))
+        .withColumn("c2", F.element_at("ucnt", F.col("w2")))
         .select(
             "w1",
             "w2",

@@ -19,13 +19,9 @@ SF = "/root/testdata/sf0.001"
 
 def test_compaction_reduces_file_count(spark):
     out = q_compaction(spark, SF).collect()[0]
-    # staging dirs are uuid-suffixed per invocation (race fix); inspect the
-    # most recent one this run produced
-    candidates = glob.glob(
-        os.path.join(tempfile.gettempdir(), "spark_graft_compact_sf0.001_*")
-    )
-    assert candidates, "q_compaction left no staging dir to inspect"
-    base = max(candidates, key=os.path.getmtime)
+    # the query exposes its uuid-suffixed staging dir (glob+mtime guessing
+    # would race a concurrent session's staging)
+    base = q_compaction.last_base
     small = glob.glob(f"{base}/small/*.parquet")
     big = glob.glob(f"{base}/big/*.parquet")
     assert len(small) > len(big), (len(small), len(big))

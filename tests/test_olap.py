@@ -12,8 +12,28 @@ SF = "/root/testdata/sf0.001"
 def test_top_revenue_is_the_argmax(spark):
     rows = QUERIES["q_top_revenue"](spark, SF).collect()
     assert rows, "top-revenue supplier set must be non-empty"
-    # every returned supplier carries the same (maximal) revenue
+    # every returned supplier carries the same revenue...
     assert len({r.total_revenue for r in rows}) == 1
+    # ...and it must BE the maximum per-supplier revenue, independently
+    # recomputed (a regression returning the min-tied set would otherwise
+    # still pass the single-value check)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
+    )
+    expected = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("r")
+        )
+        .agg(F.max(F.round(F.col("r").cast("double"), 6)))
+        .collect()[0][0]
+    )
+    assert rows[0].total_revenue == expected
 
 
 def test_min_cost_supplier_is_deterministic_under_repartition(spark):
@@ -66,7 +86,26 @@ def test_bpe_merges_rank_contract(spark):
 
 def test_collocations_lift_identity(spark):
     """Independence baseline: lift of a pair must equal
-    (n_pair/nb) / ((c1/t)*(c2/t)) recomputed from raw counts."""
+    (n_pair/nb) / ((c1/t)*(c2/t)) recomputed from raw token counts in
+    plain Python (same IEEE op order; tolerance absorbs the rounding-mode
+    difference between F.round and Python round)."""
+    import re
+    from collections import Counter
+
     rows = QUERIES["q_collocations"](spark, SF).collect()
     assert rows
     assert all(r.n_pair >= 5 and r.lift > 0 for r in rows)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    uni, bi = Counter(), Counter()
+    for (text,) in docs:
+        toks = [t.strip() for t in re.split(r"\s+", text) if t.strip()]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    nb, t = sum(bi.values()), sum(uni.values())
+    for r in rows:
+        expected = (bi[(r.w1, r.w2)] / nb) / (
+            (uni[r.w1] / t) * (uni[r.w2] / t)
+        )
+        assert r.n_pair == bi[(r.w1, r.w2)]
+        assert abs(r.lift - expected) < 1e-5, (r, expected)

@@ -112,7 +112,14 @@ def main() -> int:
     partitions = 8
     if "--partitions" in args:
         i = args.index("--partitions")
-        partitions = int(args[i + 1])
+        try:
+            partitions = int(args[i + 1])
+        except (IndexError, ValueError):
+            print(
+                "usage: parity.py [--exact] [--partitions N] [sf_dir] "
+                "[name ...]  (--partitions needs an integer)"
+            )
+            return 2
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(QUERIES)
