@@ -87,18 +87,17 @@ WITH toks AS (
   SELECT doc_id, {_WORDS_SQL} AS words FROM documents
 ), sh AS (
   SELECT doc_id,
-         unnest(CASE WHEN len(words) >= 3 THEN
+         CASE WHEN len(words) >= 3 THEN
            list_transform(range(1, len(words) - 1),
                           i -> array_to_string(words[i:i+2], ' '))
-         ELSE [] END) AS s
+         ELSE [] END AS s
   FROM toks
 )
 SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_shingles,
-       round(1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6)
+       CAST(len(s) AS BIGINT) AS n_shingles,
+       round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6)
          AS dup_ratio
-FROM sh
-GROUP BY doc_id
+FROM sh WHERE len(s) > 0
 """
 
 
@@ -106,16 +105,24 @@ GROUP BY doc_id
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate word-3-gram fraction per document — the Gopher-style
     repetition quality rule (docs that repeat themselves are low-quality
-    training data). explode → count vs count-distinct per doc: one shuffle
-    keyed by doc_id, partial aggregation map-side."""
+    training data). Entirely array-local: the shingle array, its
+    distinct count, and the ratio are per-row Column math, so the plan is
+    a ZERO-shuffle scan (the first cut exploded shingles and aggregated
+    them back by doc_id — a corpus-sized shuffle to recompute what each
+    row already knows; per-doc metrics should never leave the row)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(T.word_shingles("text", 3)).alias("s")
-    )
-    return sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
+    sized = d.select(
+        "doc_id", T.word_shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    n = F.size("sh")
+    return sized.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
         F.round(
-            F.lit(1.0) - F.countDistinct("s").cast("double") / F.count("*"), 6
+            F.lit(1.0)
+            - F.size(F.array_distinct("sh")).cast("double")
+            / n.cast("double"),
+            6,
         ).alias("dup_ratio"),
     )
 
