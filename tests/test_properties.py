@@ -187,3 +187,51 @@ def test_interval_bucket_blocking_equals_naive_overlap(spark, a_rows, b_rows):
     got = sorted((r.a_id, r.b_id) for r in blocked.collect())
     want = sorted((r.a_id, r.b_id) for r in naive.collect())
     assert got == want  # equal AND no duplicate emissions
+
+
+@settings(max_examples=15, deadline=None)
+@given(_TEXTS)
+def test_bigram_zip_equals_python_adjacency(spark, texts):
+    """The array-local bigram extraction (zip tokens with their own tail,
+    filter the null pad) used by q_collocations must equal plain-Python
+    adjacent pairing for ANY input — including empty and 1-token docs,
+    where the zip must produce no pairs rather than (w, null)."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: int, t: string"
+    )
+    toks = T.tokens(F.col("t"))
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    rows = df.select("i", "t", bigrams.alias("bg")).collect()
+    for r in rows:
+        ref_toks = [w.strip() for w in re.split(r"\s+", r["t"]) if w.strip()]
+        expected = list(zip(ref_toks, ref_toks[1:]))
+        got = [(p["w1"], p["w2"]) for p in r["bg"]]
+        assert got == expected, (r["t"], got, expected)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_TEXTS)
+def test_char_split_substr_equals_python_chars(spark, texts):
+    """The substr-over-sequence char split used by q_bpe_merges must equal
+    Python list(word) for any unicode word (the portable alternative to
+    empty-pattern regex splits, which differ between engines)."""
+    words = [w for t in texts for w in t.split() if w][:20] or ["x"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i: int, w: string"
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    rows = df.select("w", chars.alias("c")).collect()
+    for r in rows:
+        assert list(r["c"]) == list(r["w"]), (r["w"], r["c"])
