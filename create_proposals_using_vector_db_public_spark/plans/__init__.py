@@ -69,7 +69,7 @@ _PRIORITY = [
     "q_cust_no_orders", "q_promo_share", "q_priority_mix", "q_market_share",
     "q_collocations",
     "q_bpe_merges", "q_dq_audit", "q_sql_interface", "q_yoy_growth",
-    "q_trigram_typicality", "q_sq_recall",
+    "q_trigram_typicality", "q_sq_recall", "q_share_of_parent",
     # gained a real oracle this round (counts are arrival-order independent)
     "q_stream_dedup",
     "q_exists_corr", "q_avg_subquery", "q_nested_in", "q_interval_overlap",

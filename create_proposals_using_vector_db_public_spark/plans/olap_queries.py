@@ -496,3 +496,62 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_ratio"
         ),
     )
+
+
+# --- hierarchical contribution (percent-of-parent) ----------------------------
+
+_SHARE_ORACLE = """
+WITH nat AS (
+  SELECT r.r_name, n.n_name,
+         sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+             6) AS share_of_region,
+       round(CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+             / CAST(sum(rev) OVER () AS DOUBLE),
+             6) AS region_share_of_total
+FROM nat
+"""
+
+
+@query("q_share_of_parent", oracle=_SHARE_ORACLE)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis: each nation's share of its
+    region's revenue and each region's share of the total — the
+    percent-of-parent drill-down behind every BI treemap. Both parent
+    totals are window sums over the ALREADY-AGGREGATED (region, nation)
+    table (|nations| rows — the whole-table window is dimension-bounded,
+    never fact-bounded), so the fact table is scanned once and shuffled
+    once; dimensions broadcast. Revenue in exact DECIMAL; each share is
+    one double divide with identical algebra in the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    )
+    by_region = Window.partitionBy("r_name")
+    overall = Window.partitionBy()
+    rev_d = F.col("rev").cast("double")
+    region_d = F.sum("rev").over(by_region).cast("double")
+    total_d = F.sum("rev").over(overall).cast("double")
+    return nat.select(
+        "r_name",
+        "n_name",
+        F.round(rev_d, 2).alias("revenue"),
+        F.round(rev_d / region_d, 6).alias("share_of_region"),
+        F.round(region_d / total_d, 6).alias("region_share_of_total"),
+    )
