@@ -45,6 +45,7 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_pq_recall": {"nested_loop": "1-row query + codebook broadcast"},
     "q_sq_recall": {"nested_loop": "1-row grid/query broadcasts"},
     "q_cust_no_orders": {"nested_loop": "1-row scalar-average threshold"},
+    "q_important_parts": {"nested_loop": "1-row global value threshold"},
     "q_collocations": {"nested_loop": "1-row vocabulary-map broadcast"},
     "q_zonemap_prune": {"nested_loop": "1-row zone-count aggregates"},
     "q_compaction": {"nested_loop": "1-row checksum aggregate"},
