@@ -30,6 +30,7 @@ from . import (  # noqa: F401,E402
     subquery_queries,   # correlated-subquery decorrelation (Q4/Q17/Q20 shapes)
     olap_queries,       # round-2 batch 6: Q2/Q8/Q12/Q14/Q15/Q18/Q22 shapes
     decision_queries,   # round-2 batch 7: Q3/Q6/Q7/Q9/Q10/Q11/Q13/Q16/Q19/Q21
+    selection_queries,  # corpus shuffle, DSIR selection, negative sampling
 )
 
 # Rebuild the registries in an explicit priority order: queries that still

@@ -46,6 +46,8 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_sq_recall": {"nested_loop": "1-row grid/query broadcasts"},
     "q_cust_no_orders": {"nested_loop": "1-row scalar-average threshold"},
     "q_important_parts": {"nested_loop": "1-row global value threshold"},
+    "q_dsir_select": {"nested_loop": "1-row above-mean threshold"},
+    "q_negative_sample": {"nested_loop": "1-row id-space size parameter"},
     "q_collocations": {"nested_loop": "1-row vocabulary-map broadcast"},
     "q_zonemap_prune": {"nested_loop": "1-row zone-count aggregates"},
     "q_compaction": {"nested_loop": "1-row checksum aggregate"},
