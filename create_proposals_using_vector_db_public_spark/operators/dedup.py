@@ -657,3 +657,58 @@ def random_hyperplane_block(vec_col: Column | str, n_planes: int = 8) -> Column:
         )
         signs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*signs)
+
+
+# --- SemDeDup: within-cluster semantic dedup ---------------------------------
+
+def semdedup_keep(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "centroid_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup's keep step (Abbas et al. 2023, public paper): given
+    vectors already coarse-clustered (``knn.ivf_assign`` output or any
+    (id, cluster, vector) frame), drop every vector whose rounded cosine
+    similarity to a LOWER-id member of the SAME cluster exceeds
+    ``threshold``; return the kept (id, cluster) rows.
+
+    Determinism: the "first" representative of a duplicate set is the
+    minimum id (a total order), and cosine is rounded to 6dp before the
+    comparison, so the kept set is identical under any partitioning.
+
+    Scale: the self-join is ON the cluster key, so pair work is
+    O(sum c_i^2) over cluster sizes — bounded by choosing n_clusters
+    proportional to corpus size (the paper's 11k clusters for 5B rows).
+    Vectors cross the shuffle once per side; ids are the only distinct-ed
+    column.
+    """
+    from ..functions import vectors as V
+
+    base = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col(cluster_col).alias("__cl"),
+        V.as_double_array(vec_col).alias("__v"),
+    )
+    right = base.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__cl").alias("__cl_b"),
+        F.col("__v").alias("__vb"),
+    )
+    dropped = (
+        base.join(
+            right,
+            (F.col("__cl") == F.col("__cl_b"))
+            & (F.col("__id") < F.col("__id_b")),
+        )
+        .filter(
+            F.round(V.cosine_sim(F.col("__v"), F.col("__vb")), 6) > threshold
+        )
+        .select(F.col("__id_b").alias("__id"))
+        .distinct()
+    )
+    return (
+        base.join(dropped, "__id", "left_anti")
+        .select(F.col("__id").alias(id_col), F.col("__cl").alias(cluster_col))
+    )

@@ -1,0 +1,319 @@
+"""Corpus-curation declared queries, round 2 batch 8: Gopher-style rule
+filtering, CCNet-style cross-document line dedup, SemDeDup
+(embedding-cluster near-dup removal, Abbas et al. 2023), and n-gram
+diversity profiling.
+
+These are the document-quality / semantic-dedup steps a pre-training data
+pipeline runs between raw ingest and tokenization — the north-star
+cleaning family (BASELINE.json:6) at the *corpus policy* level, where
+round 1's dedup family worked at the *pairwise signature* level.
+
+Threshold discipline: every rule below is verified non-vacuous on the
+driver fixture at sf0.001, sf0.01 AND sf0.1 (some rows pass, some fail),
+with the production-default values recorded in the docstrings where the
+fixture-discriminating value differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import knn as K
+from ..sources import load_table
+from .duck import d_cosine, d_l2, dd, d_words
+from .registry import query
+
+# --- Gopher-style quality rules ---------------------------------------------
+
+# Rule constants. Gopher (Rae et al. 2021, table A1) uses word count in
+# [50, 100k], mean word length in [3, 10], and >=2 of a small stopword set.
+# The fixture's word-soup docs all have mean word length in [3.5, 5.8], so
+# the production [3, 10] band would pass every row (a vacuous check); the
+# band below is narrowed to (3.75, 5.0) — expressed as exact integer
+# cross-multiplications — so the rule genuinely discriminates at every SF.
+_MIN_WORDS = 50
+_MAX_WORDS = 100_000
+# mean word length bounds as integer ratios: 15/4 = 3.75, 5/1 = 5.0
+_MWL_LO_NUM, _MWL_LO_DEN = 15, 4
+_MWL_HI_NUM, _MWL_HI_DEN = 5, 1
+_GOPHER_STOPWORDS = ("the", "a")
+_MIN_STOPWORDS = 2
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {d_words()} AS words FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words, t -> length(t))), 0)
+              AS BIGINT) AS n_wchars,
+         CAST(len(list_filter(words, t -> t IN ('the', 'a'))) AS BIGINT)
+           AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words, n_wchars, n_stop,
+       n_words >= {_MIN_WORDS} AND n_words <= {_MAX_WORDS} AS ok_count,
+       {_MWL_LO_DEN} * n_wchars >= {_MWL_LO_NUM} * n_words
+         AND {_MWL_HI_DEN} * n_wchars <= {_MWL_HI_NUM} * n_words
+         AS ok_meanlen,
+       n_stop >= {_MIN_STOPWORDS} AS ok_stop,
+       (n_words >= {_MIN_WORDS} AND n_words <= {_MAX_WORDS})
+         AND ({_MWL_LO_DEN} * n_wchars >= {_MWL_LO_NUM} * n_words
+              AND {_MWL_HI_DEN} * n_wchars <= {_MWL_HI_NUM} * n_words)
+         AND (n_stop >= {_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
+@query("q_gopher_quality", oracle=_GOPHER_ORACLE)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality rules: word-count band, mean word
+    length band, and minimum stopword presence, plus the conjunctive keep
+    flag (Rae et al. 2021 §A1.1 — public paper, reimplemented).
+
+    Everything is exact integer arithmetic — mean word length is never
+    materialized as a float; the band test is a cross-multiplication — so
+    the result is hash-exact under any partitioning. Scale shape: one
+    narrow scan, per-row expressions only, zero shuffles; at 100 TB this
+    is the cheapest possible full-corpus pass (plan: project over scan,
+    whole-stage codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = T.tokens("text")
+    m = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(words, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_wchars"),
+        F.size(
+            F.filter(words, lambda t: t.isin(*_GOPHER_STOPWORDS))
+        ).cast("long").alias("n_stop"),
+    )
+    ok_count = (F.col("n_words") >= _MIN_WORDS) & (
+        F.col("n_words") <= _MAX_WORDS
+    )
+    ok_meanlen = (
+        F.lit(_MWL_LO_DEN) * F.col("n_wchars")
+        >= F.lit(_MWL_LO_NUM) * F.col("n_words")
+    ) & (
+        F.lit(_MWL_HI_DEN) * F.col("n_wchars")
+        <= F.lit(_MWL_HI_NUM) * F.col("n_words")
+    )
+    ok_stop = F.col("n_stop") >= _MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_wchars",
+        "n_stop",
+        ok_count.alias("ok_count"),
+        ok_meanlen.alias("ok_meanlen"),
+        ok_stop.alias("ok_stop"),
+        (ok_count & ok_meanlen & ok_stop).alias("keep"),
+    )
+
+
+# --- CCNet-style cross-document line dedup -----------------------------------
+
+_LINE_WORDS = 3
+
+_LINE_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {d_words()} AS words FROM documents
+), l AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(words) / {_LINE_WORDS}.0) AS BIGINT)),
+           i -> md5(array_to_string(
+                  words[i*{_LINE_WORDS}+1:i*{_LINE_WORDS}+{_LINE_WORDS}],
+                  ' '))) AS lhs
+  FROM w WHERE len(words) > 0
+), fl AS (
+  SELECT doc_id, generate_subscripts(lhs, 1) - 1 AS line_idx,
+         unnest(lhs) AS lh
+  FROM l
+), ranked AS (
+  SELECT doc_id, lh,
+         row_number() OVER (
+           PARTITION BY lh ORDER BY doc_id ASC, line_idx ASC
+         ) AS rn
+  FROM fl
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS kept_ratio
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@query("q_line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup (Wenzek et al. 2019 §3.1):
+    split every document into disjoint 3-word lines, keep only the first
+    global occurrence of each line (ordered by doc_id, line position), and
+    report per-document retention. The fixture corpus genuinely repeats
+    short word sequences across documents (9476 lines / 7643 distinct at
+    sf0.001), so retention < 1 at every SF.
+
+    Scale shape: lines are hashed (md5) BEFORE the shuffle, so the
+    keep-first window moves 16-byte keys, never text; the window per line
+    hash is the same one shuffle a groupBy would need. At 100 TB this is
+    the standard one-pass line dedup — CCNet shards exactly this way."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(w) / F.lit(float(_LINE_WORDS))).cast("int") - 1,
+        ),
+        lambda i: F.md5(
+            F.array_join(F.slice(w, i * _LINE_WORDS + 1, _LINE_WORDS), " ")
+        ),
+    )
+    fl = (
+        d.select("doc_id", T.tokens("text").alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode(lines).alias("line_idx", "lh"))
+    )
+    w = Window.partitionBy("lh").orderBy(
+        F.col("doc_id").asc(), F.col("line_idx").asc()
+    )
+    ranked = fl.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("kept_ratio"),
+    )
+
+
+# --- SemDeDup: embedding-cluster near-dup removal ----------------------------
+
+# Cosine threshold: within-cluster pair similarity on the fixture tops out
+# near 0.49 with ~1% of pairs above 0.3, so 0.3 discriminates at every SF.
+# SemDeDup production values are 0.95+ on real (anisotropic) embedding
+# spaces; the knob is the operator parameter, the semantics are identical.
+_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_NCENT = 8
+
+_SEMDEDUP_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, {dd("embedding")} AS cv
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_NCENT}
+), assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         round({d_l2(dd("e.embedding"), "c.cv")}, 6) AS cdist
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdist ASC, centroid_id ASC
+    ) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({d_cosine(dd("a.embedding"), dd("b.embedding"))}, 6)
+        > {_SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.centroid_id
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+@query("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): coarse-cluster the
+    embedding space, then inside each cluster drop every vector whose
+    cosine similarity to a LOWER-id cluster member exceeds tau — the
+    keep-one-representative semantic dedup step run on pre-training
+    corpora after exact/MinHash dedup. Returns the kept (vec_id,
+    centroid_id) rows.
+
+    Scale shape: assignment is ivf_assign (broadcast centroids, map-side
+    argmin — n rows cross the wire, not n x k); the pairwise stage joins
+    only WITHIN a cluster, so with c = corpus/n_centroids the work is
+    O(c^2) per cluster, bounded by choosing n_centroids proportional to
+    corpus size exactly as the paper does (they use 11k clusters for 5B
+    embeddings). The fixture codebook is the deterministic first-8 vectors
+    (same fixture stand-in as q_ann_ivf; q_ann_ivf_kmeans shows the
+    trained path). The 8-key cluster join is skewed only at fixture scale
+    — production n_centroids makes the key space wide; AQE skew-join
+    handles the residual (session.py enables it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _SEMDEDUP_NCENT).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = K.ivf_assign(emb.select("vec_id", "embedding"), cents)
+    return D.semdedup_keep(assigned, threshold=_SEMDEDUP_TAU)
+
+
+# --- n-gram diversity profiling ----------------------------------------------
+
+_DIVERSITY_N = 3
+
+_DIVERSITY_ORACLE = f"""
+WITH w AS (
+  SELECT source, {d_words()} AS words FROM documents
+), g AS (
+  SELECT source,
+         unnest(CASE WHEN len(words) >= {_DIVERSITY_N} THEN
+           list_transform(range(1, len(words) - {_DIVERSITY_N - 2}),
+             i -> md5(array_to_string(
+                    words[i:i+{_DIVERSITY_N - 1}], ' ')))
+         ELSE [] END) AS gh
+  FROM w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(count(DISTINCT gh) AS BIGINT) AS n_distinct,
+       round(CAST(count(DISTINCT gh) AS DOUBLE) / count(*), 6)
+         AS distinct_ratio
+FROM g
+GROUP BY source
+"""
+
+
+@query("q_ngram_diversity", oracle=_DIVERSITY_ORACLE)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity: distinct-trigram / total-trigram ratio,
+    the standard repetitiveness signal used to down-weight boilerplate-
+    heavy sources when composing a pre-training mixture (complements
+    q_repetition_ratio, which scores single documents).
+
+    Scale shape: shingles are md5-hashed before the aggregate, so the
+    distinct-count shuffle moves 16-byte keys instead of raw trigram text;
+    count + count(distinct) over (source, hash) gets map-side partial
+    aggregation. The one float divide happens once per source row, on two
+    exact BIGINTs — hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        F.explode(T.word_shingles("text", _DIVERSITY_N)).alias("gram"),
+    ).select("source", F.md5("gram").alias("gh"))
+    return sh.groupBy("source").agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("gh").alias("n_distinct"),
+        F.round(
+            F.countDistinct("gh").cast("double") / F.count("*"), 6
+        ).alias("distinct_ratio"),
+    )

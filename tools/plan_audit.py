@@ -38,6 +38,11 @@ ALLOW: dict[str, dict[str, str]] = {
     # 1-row broadcast parameter / stats tables crossJoined on purpose
     # (threshold, grid, codebook, global totals) — bounded by construction
     "q_ann_ivf": {"nested_loop": "1-row query parameter cross join"},
+    "q_semdedup": {
+        "nested_loop": "broadcast 8-centroid assignment cross join "
+        "(ivf_assign); the within-cluster pair stage is a SortMergeJoin "
+        "on the cluster key"
+    },
     "q_ann_ivf_kmeans": {"nested_loop": "1-row query parameter"},
     "q_ann_lsh": {"nested_loop": "1-row query parameter"},
     "q_ann_pq": {"nested_loop": "1-row query + codebook broadcast"},
