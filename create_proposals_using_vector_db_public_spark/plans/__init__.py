@@ -32,6 +32,7 @@ from . import (  # noqa: F401,E402
     decision_queries,   # round-2 batch 7: Q3/Q6/Q7/Q9/Q10/Q11/Q13/Q16/Q19/Q21
     selection_queries,  # corpus shuffle, DSIR selection, negative sampling
     curation_queries,   # round-2 batch 8: Gopher rules, line dedup, SemDeDup, diversity
+    retrieval_queries,  # round-2 batch 8: RRF hybrid search, MMR, PRF expansion
 )
 
 # Rebuild the registries in an explicit priority order: queries that still

@@ -1,0 +1,352 @@
+"""Retrieval-serving declared queries, round 2 batch 8: hybrid
+lexical+vector search via reciprocal-rank fusion, MMR result
+diversification, and pseudo-relevance-feedback query expansion.
+
+The reference IS a retrieval app (top-k vector search over proposal
+chunks feeding an LLM, ``app.py:178-186``); this family is the standard
+production retrieval layer on top of the flagship kNN: fuse BM25 with the
+vector ranking, diversify the final hit list, expand the query from its
+own best results. All algorithms are public textbook IR (Robertson BM25;
+Cormack et al. 2009 RRF; Carbonell & Goldstein 1998 MMR; Rocchio-style
+PRF). The vector side uses the deterministic stub embedder so every query
+is oracle-exact end-to-end (same device as q_stub_knn).
+
+Scale: candidate generation keeps the corpus-scale shapes (posting-list
+BM25, heap top-k kNN); fusion/diversification run on top-k-bounded rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..operators import retrieval as R
+from ..sources import load_table
+from .duck import d_cosine, d_l2, d_words
+from .registry import query
+
+_WORDS = d_words()
+
+# Shared stub-embedding + corpus-stat CTEs (mirrors q_stub_knn's device
+# and the q_bm25 statistics exactly).
+_STUB_E_CTES = f"""w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(words,
+           t -> instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) AS hashed
+  FROM w
+), e AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           d -> CAST(len(list_filter(hashed, x -> x = d)) AS DOUBLE)) AS emb
+  FROM h
+)"""
+
+_BM25_STAT_CTES = """wt AS (
+  SELECT doc_id, unnest(words) AS term FROM w
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM wt GROUP BY doc_id
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+)"""
+
+
+def _bm25_score_ctes(term_src: str, prefix: str) -> str:
+    """CTE chain computing BM25 per doc for terms from ``term_src`` (a SQL
+    set expression), named ``{prefix}score`` — mirrors
+    operators.retrieval.bm25_scores (k1=1.2, b=0.75, Robertson idf)."""
+    return f"""{prefix}tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM wt
+  WHERE term IN {term_src} GROUP BY doc_id, term
+), {prefix}df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM wt
+  WHERE term IN {term_src} GROUP BY term
+), {prefix}score AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+           (tf.tf * ({R.BM25_K1} + 1.0)) /
+           (tf.tf + {R.BM25_K1} * (1.0 - {R.BM25_B} + {R.BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM {prefix}tf tf
+  JOIN {prefix}df df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+)"""
+
+
+# --- hybrid search: reciprocal-rank fusion -----------------------------------
+
+_RRF_TERMS = ("spark", "join", "vector")
+_RRF_TOPK = 20
+
+_RRF_ORACLE = f"""
+WITH {_STUB_E_CTES},
+{_BM25_STAT_CTES},
+{_bm25_score_ctes(repr(_RRF_TERMS), "lex")},
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank_lex
+  FROM lexscore
+  ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {_RRF_TOPK}
+), q AS (
+  SELECT emb AS qv FROM e WHERE doc_id = 0
+), vec AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY round({d_l2("e.emb", "q.qv")}, 6) ASC, doc_id ASC
+         ) AS INTEGER) AS rank_vec
+  FROM e, q
+  ORDER BY round({d_l2("e.emb", "q.qv")}, 6) ASC, doc_id ASC
+  LIMIT {_RRF_TOPK}
+), fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+         round(coalesce(1.0 / ({R.RRF_K} + l.rank_lex), 0.0)
+               + coalesce(1.0 / ({R.RRF_K} + v.rank_vec), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rank_lex, rank_vec, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("q_rrf_fusion", oracle=_RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 and stub-embedding L2 top-20 fused by
+    reciprocal rank (1/(60+rank) summed over the lists containing the
+    doc), final top-10. The production answer to "keyword OR vector?" —
+    both, cheaply, at serving time.
+
+    Scale: each arm keeps its native shape (posting-list BM25; TakeOrdered
+    heap kNN); the fusion join touches <= 2k rows. Rank assignment happens
+    AFTER the top-k truncation, so no global window ever sees the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    seeds = spark.createDataFrame([(t,) for t in _RRF_TERMS], "term: string")
+    lex_top = (
+        R.bm25_scores(d, seeds)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPK)
+    )
+    lex = lex_top.withColumn(
+        "rank_lex",
+        F.row_number().over(
+            Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank_lex")
+    emb = T.stub_embeddings_df(d, "doc_id", "text")
+    qv = F.broadcast(
+        emb.filter(F.col("doc_id") == 0).select(F.col("emb").alias("qv"))
+    )
+    vec_top = (
+        emb.crossJoin(qv)
+        .select(
+            "doc_id",
+            F.round(V.l2_dist(F.col("emb"), F.col("qv")), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPK)
+    )
+    vec = vec_top.withColumn(
+        "rank_vec",
+        F.row_number().over(
+            Window.orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank_vec")
+    return R.rrf_fuse(lex, vec).limit(10)
+
+
+# --- MMR diversification ------------------------------------------------------
+
+_MMR_CAND = 20
+_MMR_K = 5
+_MMR_LAM = 0.5
+
+
+def _mmr_sql(k: int) -> str:
+    """Unrolled greedy-MMR CTE chain mirroring
+    operators.retrieval.mmr_select step for step."""
+    parts = [
+        f"""cand AS (
+  SELECT e.doc_id, e.emb,
+         round({d_cosine("e.emb", "q.qv")}, 6) AS rel
+  FROM e, q
+  ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT {_MMR_CAND}
+), sel1 AS (
+  SELECT doc_id, emb, rel, 1 AS mmr_rank FROM cand
+  ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT 1
+), all1 AS (SELECT * FROM sel1)"""
+    ]
+    for s in range(2, k + 1):
+        p = s - 1
+        parts.append(f"""rem{s} AS (
+  SELECT c.* FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM all{p})
+), ms{s} AS (
+  SELECT r.doc_id, max(round({d_cosine("r.emb", "s.emb")}, 6)) AS ms
+  FROM rem{s} r, all{p} s GROUP BY r.doc_id
+), sel{s} AS (
+  SELECT r.doc_id, r.emb, r.rel, {s} AS mmr_rank
+  FROM rem{s} r JOIN ms{s} m ON r.doc_id = m.doc_id
+  ORDER BY round({_MMR_LAM} * r.rel - {1.0 - _MMR_LAM} * m.ms, 6)
+           DESC NULLS LAST, r.doc_id ASC
+  LIMIT 1
+), all{s} AS (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{s})""")
+    return ",\n".join(parts)
+
+
+_MMR_ORACLE = f"""
+WITH {_STUB_E_CTES},
+q AS (
+  SELECT emb AS qv FROM e WHERE doc_id = 0
+),
+{_mmr_sql(_MMR_K)}
+SELECT doc_id, rel, mmr_rank FROM all{_MMR_K}
+"""
+
+
+@query("q_mmr_rerank", oracle=_MMR_ORACLE)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification: from the cosine top-20 to the query, greedily
+    keep 5 results maximizing 0.5*relevance − 0.5*max-similarity-to-kept —
+    the classic fix for near-duplicate hit lists (a corpus that passed
+    near-dup ingest dedup can still return 5 copies of the same boilerplate
+    for one query). Greedy loop unrolled into the plan; each step is an
+    argmax over <= 20 rows, nothing collected."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = T.stub_embeddings_df(d, "doc_id", "text")
+    qv = F.broadcast(
+        emb.filter(F.col("doc_id") == 0).select(F.col("emb").alias("qv"))
+    )
+    cand = (
+        emb.crossJoin(qv)
+        .select(
+            "doc_id",
+            "emb",
+            F.round(V.cosine_sim(F.col("emb"), F.col("qv")), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc_nulls_last(), F.col("doc_id").asc())
+        .limit(_MMR_CAND)
+    )
+    return R.mmr_select(cand, k=_MMR_K, lam=_MMR_LAM)
+
+
+# --- pseudo-relevance-feedback query expansion -------------------------------
+
+_PRF_SEEDS = ("spark", "join")
+_PRF_DOCS = 3
+_PRF_EXPAND = 2
+
+_QE_ORACLE = f"""
+WITH {_STUB_E_CTES},
+{_BM25_STAT_CTES},
+{_bm25_score_ctes(repr(_PRF_SEEDS), "seed")},
+prf AS (
+  SELECT doc_id FROM seedscore
+  ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {_PRF_DOCS}
+), prf_tf AS (
+  SELECT wt.term, wt.doc_id, count(*) AS tf
+  FROM wt JOIN prf USING (doc_id)
+  WHERE wt.term NOT IN {_PRF_SEEDS!r}
+  GROUP BY wt.term, wt.doc_id
+), cand_df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM wt
+  WHERE term IN (SELECT DISTINCT term FROM prf_tf)
+  GROUP BY term
+), expansion AS (
+  SELECT term FROM (
+    SELECT t.term,
+           max(round(t.tf * (ln((stats.n_docs + 1.0) / (d.df + 1.0)) + 1.0),
+                     6)) AS m
+    FROM prf_tf t JOIN cand_df d USING (term), stats
+    GROUP BY t.term
+  ) ORDER BY m DESC, term ASC LIMIT {_PRF_EXPAND}
+), q2 AS (
+  SELECT unnest({list(_PRF_SEEDS)!r}) AS term
+  UNION ALL SELECT term FROM expansion
+),
+{_bm25_score_ctes("(SELECT term FROM q2)", "fin")},
+top AS (
+  SELECT doc_id, round(score, 6) AS bm25 FROM finscore
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM top
+"""
+
+
+@query("q_query_expansion", oracle=_QE_ORACLE)
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style): BM25 the seed terms, take
+    the top-3 documents, mine their 2 strongest non-seed terms by smoothed
+    TF-IDF (max across the feedback docs — max, not sum, so the choice is
+    float-order independent), and re-run BM25 with the expanded term set.
+
+    Scale: the expansion mining touches only |prf| documents' postings;
+    the corpus-wide df lookup is filtered to the candidate terms before
+    aggregating. Both BM25 passes are posting-list shaped."""
+    d = load_table(spark, sf_dir, "documents")
+    seeds = spark.createDataFrame([(t,) for t in _PRF_SEEDS], "term: string")
+    prf = (
+        R.bm25_scores(d, seeds)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_PRF_DOCS)
+        .select("doc_id")
+    )
+    terms = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    prf_tf = (
+        terms.join(F.broadcast(prf), "doc_id")
+        .filter(~F.col("term").isin(*_PRF_SEEDS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    cand_terms = prf_tf.select("term").distinct()
+    cand_df = (
+        terms.join(F.broadcast(cand_terms), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    expansion = (
+        prf_tf.join(F.broadcast(cand_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+        .groupBy("term")
+        .agg(F.max("tfidf").alias("m"))
+        .orderBy(F.col("m").desc(), F.col("term").asc())
+        .limit(_PRF_EXPAND)
+        .select("term")
+    )
+    q2 = seeds.unionByName(expansion)
+    top = (
+        R.bm25_scores(d, q2)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    )

@@ -44,6 +44,18 @@ ALLOW: dict[str, dict[str, str]] = {
         "on the cluster key"
     },
     "q_ann_ivf_kmeans": {"nested_loop": "1-row query parameter"},
+    "q_rrf_fusion": {
+        "nested_loop": "1-row stub query vector + 1-row corpus stats "
+        "broadcast cross joins"
+    },
+    "q_mmr_rerank": {
+        "nested_loop": "1-row query vector; per-step joins against the "
+        "<=5-row selected set (greedy MMR unroll)"
+    },
+    "q_query_expansion": {
+        "nested_loop": "1-row corpus-stats broadcast cross joins in both "
+        "BM25 passes"
+    },
     "q_ann_lsh": {"nested_loop": "1-row query parameter"},
     "q_ann_pq": {"nested_loop": "1-row query + codebook broadcast"},
     "q_ann_ivfpq": {"nested_loop": "1-row query + codebook broadcast"},
