@@ -33,6 +33,7 @@ from . import (  # noqa: F401,E402
     selection_queries,  # corpus shuffle, DSIR selection, negative sampling
     curation_queries,   # round-2 batch 8: Gopher rules, line dedup, SemDeDup, diversity
     retrieval_queries,  # round-2 batch 8: RRF hybrid search, MMR, PRF expansion
+    governance_queries,  # round-2 batch 8: k-anonymity ladder, re-ident risk
 )
 
 # Rebuild the registries in an explicit priority order: queries that still
