@@ -245,3 +245,91 @@ def q_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.element_at("embedding", 1)).cast("bigint").alias("emb_d0"),
         F.sum(H.h64(F.array_join("keywords", " "), nchars=12)).alias("kw_sum"),
     )
+
+
+# --- reference pickle store as a STREAM --------------------------------------
+#
+# The reference re-scans its documents folder each session and folds in
+# only new content (app_callapi.py:165-174). sources/pickle_store.py's
+# RefPickleStreamReader applies those semantics to the store format
+# itself: a directory accumulating immutable doc_data shard pickles is a
+# streaming source (offset = last consumed shard name). This query stages
+# two shards (even/odd doc ids), drains the stream with AvailableNow, and
+# checksums the union — proving the custom Python *streaming* data-source
+# surface end-to-end with an exact oracle.
+
+_PSTREAM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source AS file_name, {_FMT_WORDS} AS words
+  FROM documents WHERE doc_id < 200
+), feat AS (
+  SELECT file_name, doc_id,
+         len(words) AS n_tok,
+         coalesce(array_to_string(words[1:8], ' '), '') AS kw_join
+  FROM base
+)
+SELECT file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_idx,
+       CAST(sum(n_tok) AS BIGINT) AS emb_sum,
+       CAST(sum({H.d_h64("kw_join", nchars=12)}) AS BIGINT) AS kw_sum
+FROM feat GROUP BY file_name
+"""
+
+
+@query("q_pickle_stream", oracle=_PSTREAM_ORACLE)
+def q_pickle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the reference's pickle store format: stage two immutable
+    doc_data shards (even/odd doc ids, stub embeddings, first-8-token
+    keywords), drain spark.readStream.format("refpickle") with
+    AvailableNow into a memory sink, and aggregate exact per-file
+    checksums over the union — any shard missed, double-read, or
+    corrupted in transport fails the hash. paragraph_idx carries the
+    doc_id, so the checksum also pins row identity across shards.
+
+    Scale: each shard is one store blob (the reference's own layout);
+    a 100 TB import streams many shards, one micro-batch group each,
+    checkpointed so reruns pick up only new shards (the unit tests prove
+    the two-batch incremental path; AvailableNow here drains all shards
+    in one run for the oracle)."""
+    from ..functions import text as T
+    from ..sources import pickle_store
+    from ..streaming import available_now_to_memory
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = (
+        T.stub_embeddings_df(d, "doc_id", "text")
+        .join(d.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            F.col("source").alias("file_name"),
+            F.col("doc_id").cast("int").alias("paragraph_idx"),
+            F.col("emb").cast("array<float>").alias("embedding"),
+            T.keyword_fallback("text", 8).alias("keywords"),
+        )
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pstream_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shard0 = os.path.join(stage, "shard_000.pkl")
+    shard1 = os.path.join(stage, "shard_001.pkl")
+    # shards are deterministic functions of (sf_dir, doc_id<200): within a
+    # process the staged files are reusable as-is
+    if not (os.path.exists(shard0) and os.path.exists(shard1)):
+        pickle_store.write_doc_data(
+            chunks.filter(F.col("paragraph_idx") % 2 == 0), shard0
+        )
+        pickle_store.write_doc_data(
+            chunks.filter(F.col("paragraph_idx") % 2 == 1), shard1
+        )
+    back = available_now_to_memory(
+        pickle_store.read_doc_data_stream(spark, stage), output_mode="append"
+    )
+    return back.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("paragraph_idx").cast("bigint").alias("sum_idx"),
+        F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x))
+        .cast("bigint").alias("emb_sum"),
+        F.sum(H.h64(F.array_join("keywords", " "), nchars=12)).alias("kw_sum"),
+    )

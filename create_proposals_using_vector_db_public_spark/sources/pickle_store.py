@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -52,6 +53,39 @@ DOC_DATA_SCHEMA = (
 @dataclass
 class _StorePartition(InputPartition):
     path: str
+
+
+def _store_rows(path: str):
+    """Parse one doc_data.pkl store into schema rows, failing loudly on a
+    truncated/misaligned store — the parallel lists ARE the integrity
+    contract (a silent zip() would drop the tail rows, exactly the
+    corruption this source must surface)."""
+    with open(path, "rb") as f:
+        store = pickle.load(f)
+    paragraphs = store["paragraphs"]
+    embeddings = store["embeddings"]
+    keywords = store["keywords"]
+    if not (
+        len(store["names"]) == len(paragraphs) == len(embeddings)
+        == len(keywords)
+    ):
+        raise ValueError(
+            f"refpickle: corrupt store {path}: parallel list "
+            f"lengths differ (names={len(store['names'])}, "
+            f"paragraphs={len(paragraphs)}, "
+            f"embeddings={len(embeddings)}, keywords={len(keywords)})"
+        )
+    for row_id, (fp, emb, kws) in enumerate(
+        zip(paragraphs, embeddings, keywords)
+    ):
+        file_name, paragraph_idx = fp
+        yield (
+            row_id,
+            file_name,
+            int(paragraph_idx),
+            [float(x) for x in emb],
+            list(kws),
+        )
 
 
 class RefPickleReader(DataSourceReader):
@@ -73,35 +107,59 @@ class RefPickleReader(DataSourceReader):
         return [_StorePartition(p) for p in self._paths]
 
     def read(self, partition):
-        with open(partition.path, "rb") as f:
-            store = pickle.load(f)
-        paragraphs = store["paragraphs"]
-        embeddings = store["embeddings"]
-        keywords = store["keywords"]
-        # fail loudly on a truncated/misaligned store — the parallel
-        # lists ARE the integrity contract (a silent zip() would drop the
-        # tail rows, exactly the corruption this source must surface)
-        if not (
-            len(store["names"]) == len(paragraphs) == len(embeddings)
-            == len(keywords)
-        ):
-            raise ValueError(
-                f"refpickle: corrupt store {partition.path}: parallel list "
-                f"lengths differ (names={len(store['names'])}, "
-                f"paragraphs={len(paragraphs)}, "
-                f"embeddings={len(embeddings)}, keywords={len(keywords)})"
-            )
-        for row_id, (fp, emb, kws) in enumerate(
-            zip(paragraphs, embeddings, keywords)
-        ):
-            file_name, paragraph_idx = fp
-            yield (
-                row_id,
-                file_name,
-                int(paragraph_idx),
-                [float(x) for x in emb],
-                list(kws),
-            )
+        yield from _store_rows(partition.path)
+
+
+class RefPickleStreamReader(SimpleDataSourceStreamReader):
+    """Directory-of-stores as a stream: the reference re-scans its folder
+    each session and folds in only NEW content (``app_callapi.py:165-174``);
+    this reader gives those semantics to the pickle format itself. The
+    watched directory accumulates immutable ``*.pkl`` shard files; the
+    offset is the lexicographically-largest consumed file name, so each
+    micro-batch reads exactly the files that arrived since (shard names
+    must sort in arrival order — the writer's ``shard_NNN`` convention).
+    Office lock files (``~$`` prefix, R2 ``app.py:35-36``) are skipped.
+
+    ``readBetweenOffsets`` replays a (start, end] file range for recovery,
+    which is deterministic because shard files are immutable once written.
+    """
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("refpickle stream: a load(path) is required")
+
+    def initialOffset(self):
+        return {"upto": ""}
+
+    def _files(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self._dir)
+            if n.endswith(".pkl") and not n.startswith("~$")
+        )
+
+    def _rows(self, names: list[str]):
+        # materialized, not a generator: Spark's simple-stream wrapper
+        # caches the prefetched batch with copy.copy(iterator), which
+        # generators don't support (and the driver must buffer the batch
+        # anyway — one store blob per shard, the reference's own layout)
+        rows = []
+        for n in names:
+            rows.extend(_store_rows(os.path.join(self._dir, n)))
+        return iter(rows)
+
+    def read(self, start):
+        new = [n for n in self._files() if n > start["upto"]]
+        if not new:
+            return iter(()), start
+        return self._rows(new), {"upto": new[-1]}
+
+    def readBetweenOffsets(self, start, end):
+        names = [
+            n for n in self._files() if start["upto"] < n <= end["upto"]
+        ]
+        return self._rows(names)
 
 
 class RefPickleDataSource(DataSource):
@@ -115,6 +173,9 @@ class RefPickleDataSource(DataSource):
     def reader(self, schema: StructType) -> RefPickleReader:
         return RefPickleReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> RefPickleStreamReader:
+        return RefPickleStreamReader(self.options)
+
 
 def register(spark: SparkSession) -> None:
     """Idempotent registration of the refpickle format."""
@@ -124,6 +185,14 @@ def register(spark: SparkSession) -> None:
 def read_doc_data(spark: SparkSession, path: str) -> DataFrame:
     register(spark)
     return spark.read.format("refpickle").load(path)
+
+
+def read_doc_data_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """Watch a directory of doc_data shard pickles as a stream (new shard
+    files become micro-batches; the reference's incremental folder-rescan
+    semantics applied to its own persistence format)."""
+    register(spark)
+    return spark.readStream.format("refpickle").load(directory)
 
 
 def write_doc_data(df: DataFrame, path: str) -> int:

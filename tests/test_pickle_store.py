@@ -100,3 +100,69 @@ def test_read_multi_store_load(spark):
     df = spark.read.format("refpickle").load(stores)
     names = sorted(r.file_name for r in df.collect())
     assert names == ["s0.docx", "s1.docx"]
+
+
+# --- streaming reader --------------------------------------------------------
+
+def _store(path, names_rows):
+    store = {
+        "names": [r[0] for r in names_rows],
+        "paragraphs": [(r[0], r[1]) for r in names_rows],
+        "embeddings": [[float(r[1])] for r in names_rows],
+        "keywords": [[f"k{r[1]}"] for r in names_rows],
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(store, f)
+
+
+def test_stream_reader_offsets_and_replay(tmp_path):
+    """Driver-side offset protocol: read() consumes all new shards and
+    advances; a no-change read keeps the offset; readBetweenOffsets
+    replays a committed range identically (shards are immutable)."""
+    d = str(tmp_path / "stores")
+    _store(os.path.join(d, "shard_000.pkl"), [("a.docx", 0), ("a.docx", 1)])
+    r = pickle_store.RefPickleStreamReader({"path": d})
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    assert [x[2] for x in rows1] == [0, 1] and off1 == {"upto": "shard_000.pkl"}
+    # nothing new: offset unchanged, no rows
+    rows_none, off_same = r.read(off1)
+    assert list(rows_none) == [] and off_same == off1
+    # a new shard arrives (+ an Office lock file that must be skipped, R2)
+    _store(os.path.join(d, "shard_001.pkl"), [("b.docx", 7)])
+    _store(os.path.join(d, "~$shard_999.pkl"), [("junk.docx", 99)])
+    rows2, off2 = r.read(off1)
+    assert [x[2] for x in rows2] == [7] and off2 == {"upto": "shard_001.pkl"}
+    # deterministic replay of the first range
+    replay = list(r.readBetweenOffsets(off0, off1))
+    assert [x[2] for x in replay] == [0, 1]
+
+
+def test_stream_incremental_pickup_two_batches(spark, tmp_path):
+    """End-to-end through readStream: batch 1 sees shard_000 only; after
+    shard_001 arrives the SAME query picks up only the new rows."""
+    d = str(tmp_path / "stores")
+    _store(os.path.join(d, "shard_000.pkl"), [("a.docx", 0), ("a.docx", 1)])
+    df = pickle_store.read_doc_data_stream(spark, d)
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 2
+        _store(os.path.join(d, "shard_001.pkl"), [("b.docx", 7)])
+        q.processAllAvailable()
+        got = sorted(
+            (r.file_name, r.paragraph_idx)
+            for r in spark.table(name).collect()
+        )
+        assert got == [("a.docx", 0), ("a.docx", 1), ("b.docx", 7)]
+    finally:
+        q.stop()
