@@ -61,6 +61,12 @@ HEADLINE = [
     "q_collocations",     # bigram lift, array-local zip
     "q_bpe_merges",       # BPE merge-pair induction over word types
     "q_dq_audit",         # fused one-pass-per-table DQ gate
+    # round-2 batch 8
+    "q_gopher_quality",   # zero-shuffle integer quality rules
+    "q_line_dedup",       # CCNet line dedup, hashed-key window
+    "q_semdedup",         # cluster-blocked semantic dedup
+    "q_rrf_fusion",       # hybrid BM25 + vector fusion
+    "q_k_anonymity",      # generalization-ladder governance audit
 ]
 
 

@@ -218,3 +218,70 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
         ).alias("p_transition"),
     )
+
+
+# --- event-pattern matching (CEP-lite) ---------------------------------------
+#
+# MATCH_RECOGNIZE-style sequence patterns without a CEP engine: encode
+# each user's totally-ordered event history as a character string (one
+# char per event type), then count regex matches. Two patterns: the
+# contiguous motif 'vcp' (view,click,purchase back-to-back) and the
+# gapped funnel 'v[^p]*c[^p]*p' (view then click then purchase with no
+# intervening purchase). Both regexes compile to the same DFA semantics
+# in Java regex and RE2 — match ends are forced to the first 'p' after a
+# qualifying v..c, so non-overlapping counts agree exactly.
+
+_EVENT_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY epoch_us(ts), event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_contig,
+       CAST(len(regexp_extract_all(s, 'v[^p]*c[^p]*p')) AS BIGINT)
+         AS n_funnel
+FROM seq
+"""
+
+
+@query("q_event_pattern", oracle=_EVENT_PATTERN_ORACLE)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence pattern counts: contiguous view→click→
+    purchase motifs and gapped no-purchase-in-between funnels, via regex
+    over the character-encoded ordered history.
+
+    Determinism: the sequence is assembled by sort_array over
+    (ts_us, event_id, char) structs — a value sort, NOT collection order,
+    so any partitioning yields the same string (event_id breaks
+    timestamp ties totally). Scale shape: one shuffle of (user_id, 8-byte
+    ts, 8-byte id, 1 char) rows; per-user history assembly is the
+    irreducible grouped sort every sequence-analytics job pays. The
+    regex runs once per user on the assembled string, JVM-side."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts_us", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        F.regexp_count("s", F.lit("vcp")).cast("bigint").alias("n_contig"),
+        F.regexp_count("s", F.lit("v[^p]*c[^p]*p")).cast("bigint").alias(
+            "n_funnel"
+        ),
+    )

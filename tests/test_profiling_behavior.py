@@ -11,7 +11,10 @@ import pyspark.sql.functions as F
 import pytest
 from pyspark.sql import Window
 
+from create_proposals_using_vector_db_public_spark.plans import QUERIES
 from create_proposals_using_vector_db_public_spark.sources import pickle_store
+
+SF = "/root/testdata/sf0.001"
 
 
 def test_ewma_fixed_depth_weights(spark):
@@ -86,3 +89,54 @@ def test_corrupt_pickle_store_fails_loudly(spark):
         pickle.dump({"names": []}, f)
     with pytest.raises(Exception):
         pickle_store.read_doc_data(spark, path).collect()
+
+
+# --- event-pattern matching --------------------------------------------------
+
+def test_event_pattern_counts_on_literal_sequence(spark, tmp_path):
+    """Hand-checkable history: 'vcpvxcp'-style sequences with known
+    contiguous and gapped match counts, arrival order scrambled to prove
+    the sort_array assembly."""
+    import os
+
+    rows = [
+        # user 1 ordered: v c p v c p  -> contig 2, funnel 2
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "purchase"),
+        (1, 40, 4, "view"), (1, 50, 5, "click"), (1, 60, 6, "purchase"),
+        # user 2 ordered: v e c s p -> contig 0, funnel 1 (gapped)
+        (2, 10, 7, "view"), (2, 20, 8, "error"), (2, 30, 9, "click"),
+        (2, 40, 10, "signup"), (2, 50, 11, "purchase"),
+        # user 3 ordered: v p c p -> funnel 0 (purchase intervenes before c)
+        (3, 10, 12, "view"), (3, 20, 13, "purchase"), (3, 30, 14, "click"),
+        (3, 40, 15, "purchase"),
+    ]
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        [(u, e, t, ty) for (u, t, e, ty) in rows],
+        "user_id: long, event_id: long, us: long, event_type: string",
+    ).select(
+        "user_id", "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type",
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["q_event_pattern"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_contig"] == 2 and out[1]["n_funnel"] == 2
+    assert out[2]["n_contig"] == 0 and out[2]["n_funnel"] == 1
+    assert out[3]["n_contig"] == 0 and out[3]["n_funnel"] == 0
+    assert out[2]["n_events"] == 5
+
+
+def test_event_pattern_fixture_counts_vary(spark):
+    rows = QUERIES["q_event_pattern"](spark, SF).collect()
+    assert len(rows) > 0
+    funnels = {r["n_funnel"] for r in rows}
+    assert len(funnels) > 1, "pattern counts are constant — vacuous"
