@@ -536,3 +536,200 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("merge_rank") <= 20)
         .select("sym1", "sym2", "pair_freq", "merge_rank")
     )
+
+
+# --- BPE merge application (tokenizer encode step) ---------------------------
+#
+# q_bpe_merges learns the merge table; this applies the top-3 merges in
+# rank order to the word-type table and reports the corpus token count
+# after each step — the encode side of the tokenizer. The symbol
+# sequence is encoded as a '|'-delimited string ('|a|b|c|</w>|'), so one
+# exhaustive left-to-right non-overlapping merge application is a plain
+# string replace of '|x|y|' with '|xy|' — replace() scans identically in
+# Spark and DuckDB, including the BPE corner where an overlapping
+# occurrence is skipped after a replacement consumes its left symbol.
+
+_BPE_STEPS = 3
+
+_BPE_ENCODE_ORACLE = f"""
+WITH w AS (
+  SELECT unnest({_WORDS_SQL}) AS wd FROM documents
+), wt AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY wd
+), sym AS (
+  SELECT cnt,
+         list_transform(generate_series(1, length(wd)),
+                        i -> substr(wd, i, 1)) || ['</w>'] AS chars
+  FROM wt
+), pr AS (
+  SELECT unnest(list_filter(list_zip(chars, chars[2:]),
+                            p -> p[2] IS NOT NULL)) AS p,
+         cnt
+  FROM sym
+), agg AS (
+  SELECT p[1] AS sym1, p[2] AS sym2, CAST(sum(cnt) AS BIGINT) AS pair_freq
+  FROM pr GROUP BY 1, 2
+), ranked AS (
+  SELECT sym1, sym2, row_number() OVER (
+           ORDER BY pair_freq DESC, sym1 ASC, sym2 ASC) AS rk
+  FROM agg
+), m AS (
+  SELECT max(CASE WHEN rk = 1 THEN sym1 END) AS a1,
+         max(CASE WHEN rk = 1 THEN sym2 END) AS b1,
+         max(CASE WHEN rk = 2 THEN sym1 END) AS a2,
+         max(CASE WHEN rk = 2 THEN sym2 END) AS b2,
+         max(CASE WHEN rk = 3 THEN sym1 END) AS a3,
+         max(CASE WHEN rk = 3 THEN sym2 END) AS b3
+  FROM ranked WHERE rk <= {_BPE_STEPS}
+), enc AS (
+  SELECT wt.cnt,
+         '|' || regexp_replace(wt.wd, '(.)', '\\1|', 'g') || '</w>|' AS s0,
+         m.*
+  FROM wt, m
+), e1 AS (
+  SELECT *, replace(s0, '|'||a1||'|'||b1||'|', '|'||a1||b1||'|') AS s1
+  FROM enc
+), e2 AS (
+  SELECT *, replace(s1, '|'||a2||'|'||b2||'|', '|'||a2||b2||'|') AS s2
+  FROM e1
+), e3 AS (
+  SELECT *, replace(s2, '|'||a3||'|'||b3||'|', '|'||a3||b3||'|') AS s3
+  FROM e2
+), tot AS (
+  SELECT
+    CAST(sum(cnt * (length(s0) - length(replace(s0,'|','')) - 1)) AS BIGINT) AS t0,
+    CAST(sum(cnt * (length(s1) - length(replace(s1,'|','')) - 1)) AS BIGINT) AS t1,
+    CAST(sum(cnt * (length(s2) - length(replace(s2,'|','')) - 1)) AS BIGINT) AS t2,
+    CAST(sum(cnt * (length(s3) - length(replace(s3,'|','')) - 1)) AS BIGINT) AS t3
+  FROM e3
+)
+SELECT CAST(0 AS INTEGER) AS step, CAST(NULL AS VARCHAR) AS sym1,
+       CAST(NULL AS VARCHAR) AS sym2, t0 AS total_syms FROM tot
+UNION ALL SELECT 1, m.a1, m.b1, t1 FROM tot, m
+UNION ALL SELECT 2, m.a2, m.b2, t2 FROM tot, m
+UNION ALL SELECT 3, m.a3, m.b3, t3 FROM tot, m
+"""
+
+
+@query("q_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the top-3 learned BPE merges in rank order (Sennrich et al.
+    2016's encode step) and report the weighted corpus symbol count after
+    each — the compression curve a tokenizer-training run watches. Merge
+    application is exhaustive left-to-right within each word type via
+    delimited-string replace (identical scan semantics in both engines).
+
+    Scale shape: like q_bpe_merges, everything after the first aggregate
+    runs on the vocabulary-sized word-TYPE table; the merge table pivots
+    to ONE broadcast row; the per-step totals are exact integer sums.
+    The chain is inherently sequential in the merge rank (each step
+    rewrites the segmentation the next step sees) — exactly 3 narrow
+    projections here, a loop of the same plan in production."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = wt.select(
+        "cnt",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("wd")),
+                lambda i: F.col("wd").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("chars"),
+    )
+    pairs = sym.select(
+        "cnt",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("chars"),
+                    F.slice(
+                        "chars", 2, F.greatest(F.size("chars") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+                ),
+                lambda p: p["s2"].isNotNull(),
+            )
+        ).alias("p"),
+    )
+    agg = (
+        pairs.select(
+            F.col("p.s1").alias("sym1"), F.col("p.s2").alias("sym2"), "cnt"
+        )
+        .groupBy("sym1", "sym2")
+        .agg(F.sum("cnt").alias("pair_freq"))
+    )
+    wnd = Window.orderBy(
+        F.col("pair_freq").desc(), F.col("sym1").asc(), F.col("sym2").asc()
+    )
+    ranked = agg.withColumn("rk", F.row_number().over(wnd)).filter(
+        F.col("rk") <= _BPE_STEPS
+    )
+    m = ranked.agg(
+        *[
+            f
+            for k in range(1, _BPE_STEPS + 1)
+            for f in (
+                F.max(F.when(F.col("rk") == k, F.col("sym1"))).alias(f"a{k}"),
+                F.max(F.when(F.col("rk") == k, F.col("sym2"))).alias(f"b{k}"),
+            )
+        ]
+    )
+    enc = wt.crossJoin(F.broadcast(m)).withColumn(
+        "s0",
+        F.concat(
+            F.lit("|"),
+            F.regexp_replace("wd", "(.)", "$1|"),
+            F.lit("</w>|"),
+        ),
+    )
+    for k in range(1, _BPE_STEPS + 1):
+        enc = enc.withColumn(
+            f"s{k}",
+            F.replace(
+                F.col(f"s{k-1}"),
+                F.concat(
+                    F.lit("|"), F.col(f"a{k}"), F.lit("|"),
+                    F.col(f"b{k}"), F.lit("|"),
+                ),
+                F.concat(
+                    F.lit("|"), F.col(f"a{k}"), F.col(f"b{k}"), F.lit("|")
+                ),
+            ),
+        )
+
+    def nsyms(c: str):
+        return (
+            F.length(c)
+            - F.length(F.replace(F.col(c), F.lit("|"), F.lit("")))
+            - 1
+        )
+
+    tot = enc.agg(
+        *[
+            F.sum(F.col("cnt") * nsyms(f"s{k}")).cast("bigint").alias(f"t{k}")
+            for k in range(0, _BPE_STEPS + 1)
+        ],
+        *[
+            f
+            for k in range(1, _BPE_STEPS + 1)
+            for f in (
+                F.max(f"a{k}").alias(f"ma{k}"),
+                F.max(f"b{k}").alias(f"mb{k}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        ["0, cast(null as string), cast(null as string), t0"]
+        + [f"{k}, ma{k}, mb{k}, t{k}" for k in range(1, _BPE_STEPS + 1)]
+    )
+    return tot.select(
+        F.expr(
+            f"stack({_BPE_STEPS + 1}, {stack_args}) "
+            "as (step, sym1, sym2, total_syms)"
+        )
+    )

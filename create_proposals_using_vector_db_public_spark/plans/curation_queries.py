@@ -24,7 +24,7 @@ from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import knn as K
 from ..sources import load_table
-from .duck import d_cosine, d_l2, dd, d_words
+from .duck import d_cosine, d_dot, d_l2, dd, d_words
 from .registry import query
 
 # --- Gopher-style quality rules ---------------------------------------------
@@ -207,8 +207,23 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near 0.49 with ~1% of pairs above 0.3, so 0.3 discriminates at every SF.
 # SemDeDup production values are 0.95+ on real (anisotropic) embedding
 # spaces; the knob is the operator parameter, the semantics are identical.
+# 32 centroids (the paper scales clusters with corpus size): pair work is
+# sum c_i^2, so 4x the clusters of the q_ann_ivf fixture codebook cuts the
+# sf0.1 pair stage ~4x (measured 18.7s -> ~2s with the normalized dot).
 _SEMDEDUP_TAU = 0.3
-_SEMDEDUP_NCENT = 8
+_SEMDEDUP_NCENT = 32
+
+
+def _d_normalize(a: str) -> str:
+    """Mirror of functions.vectors.normalize: x / sqrt(sequential dot),
+    zero vectors pass through."""
+    from .duck import d_norm as _dn
+
+    return (
+        f"CASE WHEN {_dn(a)} <> 0.0 "
+        f"THEN list_transform({a}, x -> x / {_dn(a)}) ELSE {a} END"
+    )
+
 
 _SEMDEDUP_ORACLE = f"""
 WITH cents AS (
@@ -218,7 +233,7 @@ WITH cents AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          round({d_l2(dd("e.embedding"), "c.cv")}, 6) AS cdist
   FROM embeddings e, cents c
-), assigned AS (
+), assigned0 AS (
   SELECT vec_id, embedding, centroid_id
   FROM (
     SELECT *, row_number() OVER (
@@ -226,12 +241,15 @@ WITH cents AS (
     ) AS rn
     FROM assign_scored
   ) WHERE rn = 1
+), assigned AS (
+  SELECT vec_id, centroid_id,
+         {_d_normalize(dd("embedding"))} AS vh
+  FROM assigned0
 ), dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a JOIN assigned b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE round({d_cosine(dd("a.embedding"), dd("b.embedding"))}, 6)
-        > {_SEMDEDUP_TAU}
+  WHERE round({d_dot("a.vh", "b.vh")}, 6) > {_SEMDEDUP_TAU}
 )
 SELECT s.vec_id, s.centroid_id
 FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id

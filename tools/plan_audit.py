@@ -57,6 +57,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "BM25 passes"
     },
     "q_ann_lsh": {"nested_loop": "1-row query parameter"},
+    "q_bpe_encode": {
+        "nested_loop": "1-row pivoted merge-table broadcast cross join"
+    },
     "q_ann_pq": {"nested_loop": "1-row query + codebook broadcast"},
     "q_ann_ivfpq": {"nested_loop": "1-row query + codebook broadcast"},
     "q_pq_recall": {"nested_loop": "1-row query + codebook broadcast"},
