@@ -36,23 +36,36 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 score per document for a *dynamic* query-term set (a 1-column
-    ``term`` DataFrame, always broadcast) — the data-dependent variant of
-    the fixed-term q_bm25, needed by pseudo-relevance feedback where the
-    expanded term set is computed, not literal.
+    ``term`` DataFrame, always broadcast, deduplicated to IN-set
+    semantics) — the data-dependent variant of the fixed-term q_bm25,
+    needed by pseudo-relevance feedback where the expanded term set is
+    computed, not literal.
 
     Returns (id_col, score) with the raw double score — callers round at
     their declared precision. Corpus stats (avgdl, n_docs) are a 1-row
     broadcast; document lengths join on the id; only the filtered
-    postings (|terms| per doc at most) ever aggregate.
+    postings (|terms| per doc at most) ever aggregate. Pass ``postings``
+    (an exploded (id, term) frame) when the caller runs several BM25
+    passes over the same corpus — the tokenize/explode scan then happens
+    once, not per pass.
     """
-    terms = docs.select(
-        F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
+    terms = (
+        postings
+        if postings is not None
+        else docs.select(
+            F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
+        )
     )
     dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
-    qterms = terms.join(F.broadcast(query_terms.select("term")), "term")
+    # distinct: the declared semantics are an IN-set (the oracles' WHERE
+    # term IN ...); a duplicated input term must not double-count postings
+    qterms = terms.join(
+        F.broadcast(query_terms.select("term").distinct()), "term"
+    )
     tf = qterms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = qterms.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")
@@ -117,12 +130,16 @@ def mmr_select(
     collected to the driver. Candidates are top-k-bounded upstream, so
     every step's join is tens-of-rows; lam=0.5 and the 6dp-rounded sims
     make each step's argmax deterministic (ties on the rounded score break
-    by id)."""
+    by id). Each step's ``selected`` is localCheckpoint-ed (it is <= k
+    tiny rows): the loop body references it ~4 times, so an uncached
+    chain would grow the logical plan ~4^k and re-execute every prior
+    step — checkpointing keeps planning and execution linear in k."""
     base = cand.select(id_col, vec_col, rel_col)
     selected = (
         base.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
         .limit(1)
         .withColumn("mmr_rank", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     for step in range(2, k + 1):
         sel_vecs = F.broadcast(
@@ -153,5 +170,5 @@ def mmr_select(
             .select(id_col, vec_col, rel_col)
             .withColumn("mmr_rank", F.lit(step))
         )
-        selected = selected.unionByName(nxt)
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
     return selected.select(id_col, rel_col, "mmr_rank")

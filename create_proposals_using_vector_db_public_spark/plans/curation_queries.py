@@ -51,8 +51,9 @@ WITH w AS (
          CAST(len(words) AS BIGINT) AS n_words,
          CAST(coalesce(list_sum(list_transform(words, t -> length(t))), 0)
               AS BIGINT) AS n_wchars,
-         CAST(len(list_filter(words, t -> t IN ('the', 'a'))) AS BIGINT)
-           AS n_stop
+         CAST(len(list_filter(words,
+           t -> t IN ({", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)})))
+           AS BIGINT) AS n_stop
   FROM w
 )
 SELECT doc_id, n_words, n_wchars, n_stop,
@@ -271,11 +272,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only WITHIN a cluster, so with c = corpus/n_centroids the work is
     O(c^2) per cluster, bounded by choosing n_centroids proportional to
     corpus size exactly as the paper does (they use 11k clusters for 5B
-    embeddings). The fixture codebook is the deterministic first-8 vectors
-    (same fixture stand-in as q_ann_ivf; q_ann_ivf_kmeans shows the
-    trained path). The 8-key cluster join is skewed only at fixture scale
-    — production n_centroids makes the key space wide; AQE skew-join
-    handles the residual (session.py enables it)."""
+    embeddings). The fixture codebook is the deterministic first-32
+    vectors (the same stand-in device as q_ann_ivf's first-8;
+    q_ann_ivf_kmeans shows the trained path) — 32 because pair work is
+    sum c_i^2: measured 18.7s at sf0.1 with 8 clusters vs 4.3s with 32 +
+    the normalized single-dot pair stage (see semdedup_keep). The 32-key
+    cluster join is narrow only at fixture scale — production
+    n_centroids makes the key space wide; AQE skew-join handles the
+    residual (session.py enables it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < _SEMDEDUP_NCENT).select(
         F.col("vec_id").alias("centroid_id"),

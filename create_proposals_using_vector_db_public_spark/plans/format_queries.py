@@ -307,10 +307,17 @@ def q_pickle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.keyword_fallback("text", 8).alias("keywords"),
         )
     )
+    # key the stage on the FULL sf_dir (hashed), not its basename: two
+    # trees with the same basename (e.g. /a/sf0.01 vs /b/sf0.01) must not
+    # reuse each other's staged shards
+    import hashlib
+
+    sf_key = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:10]
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_pstream_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}",
+        f"spark_graft_pstream_{sf_key}_{os.getpid()}",
     )
     shard0 = os.path.join(stage, "shard_000.pkl")
     shard1 = os.path.join(stage, "shard_001.pkl")

@@ -293,14 +293,16 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregating. Both BM25 passes are posting-list shaped."""
     d = load_table(spark, sf_dir, "documents")
     seeds = spark.createDataFrame([(t,) for t in _PRF_SEEDS], "term: string")
+    # ONE tokenize/explode of the corpus, shared by both BM25 passes and
+    # the expansion mining — three corpus scans otherwise
+    terms = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     prf = (
-        R.bm25_scores(d, seeds)
+        R.bm25_scores(d, seeds, postings=terms)
         .select("doc_id", F.round("score", 6).alias("s"))
         .orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(_PRF_DOCS)
         .select("doc_id")
     )
-    terms = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     prf_tf = (
         terms.join(F.broadcast(prf), "doc_id")
         .filter(~F.col("term").isin(*_PRF_SEEDS))
@@ -339,7 +341,7 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q2 = seeds.unionByName(expansion)
     top = (
-        R.bm25_scores(d, q2)
+        R.bm25_scores(d, q2, postings=terms)
         .select("doc_id", F.round("score", 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(10)

@@ -122,12 +122,27 @@ class RefPickleStreamReader(SimpleDataSourceStreamReader):
 
     ``readBetweenOffsets`` replays a (start, end] file range for recovery,
     which is deterministic because shard files are immutable once written.
+
+    Driver-memory contract: a batch's rows are buffered on the driver
+    (Spark's simple-stream wrapper prefetches there), so an uncapped
+    catch-up over many pending shards buffers them ALL in one batch.
+    ``option("maxShardsPerBatch", n)`` bounds that: each micro-batch
+    consumes at most n shards and a ``processingTime`` trigger drains the
+    backlog incrementally. The default is uncapped because
+    ``Trigger.AvailableNow`` issues exactly ONE read() for a simple
+    reader — a capped AvailableNow run would silently stop after n
+    shards. Cap for continuous tailing; leave uncapped for one-shot
+    drains of bounded backlogs.
     """
 
     def __init__(self, options):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("refpickle stream: a load(path) is required")
+        max_shards = options.get("maxShardsPerBatch")
+        self._max_shards = int(max_shards) if max_shards is not None else None
+        if self._max_shards is not None and self._max_shards < 1:
+            raise ValueError("refpickle stream: maxShardsPerBatch must be >= 1")
 
     def initialOffset(self):
         return {"upto": ""}
@@ -153,6 +168,8 @@ class RefPickleStreamReader(SimpleDataSourceStreamReader):
         new = [n for n in self._files() if n > start["upto"]]
         if not new:
             return iter(()), start
+        if self._max_shards is not None:
+            new = new[: self._max_shards]
         return self._rows(new), {"upto": new[-1]}
 
     def readBetweenOffsets(self, start, end):
@@ -187,12 +204,22 @@ def read_doc_data(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("refpickle").load(path)
 
 
-def read_doc_data_stream(spark: SparkSession, directory: str) -> DataFrame:
+def read_doc_data_stream(
+    spark: SparkSession,
+    directory: str,
+    max_shards_per_batch: int | None = None,
+) -> DataFrame:
     """Watch a directory of doc_data shard pickles as a stream (new shard
     files become micro-batches; the reference's incremental folder-rescan
-    semantics applied to its own persistence format)."""
+    semantics applied to its own persistence format). Cap the per-batch
+    driver buffer with ``max_shards_per_batch`` when tailing a large
+    backlog under a processingTime trigger — see RefPickleStreamReader's
+    driver-memory contract for why AvailableNow runs must stay uncapped."""
     register(spark)
-    return spark.readStream.format("refpickle").load(directory)
+    reader = spark.readStream.format("refpickle")
+    if max_shards_per_batch is not None:
+        reader = reader.option("maxShardsPerBatch", max_shards_per_batch)
+    return reader.load(directory)
 
 
 def write_doc_data(df: DataFrame, path: str) -> int:

@@ -135,6 +135,7 @@ def test_event_pattern_counts_on_literal_sequence(spark, tmp_path):
     assert out[2]["n_events"] == 5
 
 
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 def test_event_pattern_fixture_counts_vary(spark):
     rows = QUERIES["q_event_pattern"](spark, SF).collect()
     assert len(rows) > 0
