@@ -271,3 +271,77 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = available_now_to_memory(deduped, output_mode="append")
     return out.groupBy("event_type").agg(F.count("*").alias("distinct_users"))
+
+
+# --- stream-stream watermarked interval join ---------------------------------
+
+_SS_JOIN_RANGE_US = 30 * 60 * 1_000_000  # purchase within 30 min of a view
+
+_STREAM_STREAM_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), v AS (
+  SELECT user_id, us FROM e WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, us FROM e WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(p.us - v.us) AS BIGINT) AS total_delay_us
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.us >= v.us AND p.us <= v.us + {_SS_JOIN_RANGE_US}
+GROUP BY v.user_id
+"""
+
+
+@query("q_stream_stream_join", oracle=_STREAM_STREAM_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (the one join class q_stream_join's
+    stream-static shape does not cover): views joined to purchases by the
+    same user within 30 minutes, both sides watermarked so the state
+    store can evict rows older than the watermark plus the join range —
+    the bounded-state contract that makes an unbounded two-stream join
+    runnable forever at scale.
+
+    With AvailableNow the whole fixture is one micro-batch (watermark
+    state eviction never drops an in-batch match), so the emitted pairs
+    equal the batch interval join and the per-user counts are
+    oracle-exact. The aggregation runs AFTER the memory sink on the
+    emitted pairs: an append-mode streaming aggregate over a non-windowed
+    key would never finalize."""
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts_t").alias("v_ts"),
+            F.col("ts_us").alias("v_us"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts_t").alias("b_ts"),
+            F.col("ts_us").alias("b_us"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    pairs = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    out = available_now_to_memory(pairs, output_mode="append")
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("b_us") - F.col("v_us")).alias("total_delay_us"),
+    )
