@@ -297,7 +297,7 @@ _FINGERPRINT_ORACLE = f"""
 WITH {_CORPUS_SQL.strip()},
 fp AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
            AS fingerprint
   FROM corpus
 )

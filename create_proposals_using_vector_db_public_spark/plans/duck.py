@@ -50,8 +50,18 @@ def d_words(col: str = "text") -> str:
     """Whitespace tokens, trimmed, empties dropped — the DuckDB mirror of
     ``functions.text.tokens``. Every plan module's oracle must use THIS
     builder (not a local copy) so the tokenizer can never drift from the
-    Spark side in one family but not another."""
+    Spark side in one family but not another.
+
+    Two divergences are pinned down explicitly (both verified live, both
+    invisible on the fixture but real on arbitrary input):
+    - separator class: Java regex ``\\s`` is [ \\t\\n\\x0B\\f\\r] while
+      RE2's ``\\s`` omits vertical tab — the class is spelled out to
+      Java's set;
+    - trim set: DuckDB ``trim(w)`` strips unicode whitespace (NBSP →
+      empty) while Spark ``trim`` strips only U+0020 — the trim charset
+      is pinned to the single space character."""
     return (
-        f"list_filter(list_transform(string_split_regex({col}, '\\s+'), "
-        "w -> trim(w)), w -> length(w) > 0)"
+        f"list_filter(list_transform("
+        f"string_split_regex({col}, '[ \\t\\n\\x0B\\f\\r]+'), "
+        "w -> trim(w, ' ')), w -> length(w) > 0)"
     )

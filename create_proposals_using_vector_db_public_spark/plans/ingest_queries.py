@@ -49,9 +49,9 @@ WITH toks AS (
   FROM documents
   WHERE doc_id < 100
 )
-SELECT doc_id, paragraph_idx, trim(word) AS paragraph
+SELECT doc_id, paragraph_idx, trim(word, ' ') AS paragraph
 FROM toks
-WHERE length(trim(word)) > 0
+WHERE length(trim(word, ' ')) > 0
 """
 
 

@@ -144,9 +144,9 @@ WITH corpus AS (
               THEN text || chr(10) || '{_FOOTER}' ELSE text END AS text
   FROM corpus
 ), lines AS (
-  SELECT doc_id, trim(l) AS line
+  SELECT doc_id, trim(l, ' ') AS line
   FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM corpus2)
-  WHERE length(trim(l)) > 0
+  WHERE length(trim(l, ' ')) > 0
 )
 SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM lines

@@ -277,7 +277,7 @@ WITH w AS (
 )
 SELECT doc_id,
        array_to_string(
-         list_filter(list_transform(str_split(raw, ','), x -> trim(x)),
+         list_filter(list_transform(str_split(raw, ','), x -> trim(x, ' ')),
                      x -> length(x) > 0),
          '|') AS parsed
 FROM s

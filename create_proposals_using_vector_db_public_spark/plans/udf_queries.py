@@ -186,10 +186,10 @@ WITH toks AS (
   FROM documents
   WHERE doc_id < 50
 )
-SELECT doc_id, word_idx, trim(word) AS word,
-       CAST(length(trim(word)) AS INTEGER) AS n_chars
+SELECT doc_id, word_idx, trim(word, ' ') AS word,
+       CAST(length(trim(word, ' ')) AS INTEGER) AS n_chars
 FROM toks
-WHERE length(trim(word)) > 0
+WHERE length(trim(word, ' ')) > 0
 """
 
 
@@ -208,9 +208,10 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             for i, w in enumerate(text.split(" ")):
-                # strip SPACES only: the oracle's trim() strips spaces,
-                # while bare str.strip() also removes \t\n\r and would
-                # diverge on texts with tab/newline-edged tokens
+                # strip SPACES only, mirroring the oracle's pinned
+                # trim(word, ' '): bare str.strip() (like DuckDB's bare
+                # trim()) removes \t\n\r and unicode whitespace and would
+                # diverge on tab/newline/NBSP-edged tokens
                 t = w.strip(" ")
                 if t:
                     yield i, t, len(t)

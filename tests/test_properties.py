@@ -212,7 +212,16 @@ def test_bigram_zip_equals_python_adjacency(spark, texts):
     )
     rows = df.select("i", "t", bigrams.alias("bg")).collect()
     for r in rows:
-        ref_toks = [w.strip() for w in re.split(r"\s+", r["t"]) if w.strip()]
+        # mirror the ENGINE's semantics, not Python's: Java regex \s is
+        # ASCII-only ([ \t\n\x0b\f\r] — U+00A0 etc. are NOT separators),
+        # and F.trim strips only U+0020. Python re.\s/str.strip are
+        # unicode-wide and diverge on exactly those inputs (hypothesis
+        # found '0\xa00').
+        ref_toks = [
+            w.strip(" ")
+            for w in re.split(r"[ \t\n\x0b\f\r]+", r["t"])
+            if w.strip(" ")
+        ]
         expected = list(zip(ref_toks, ref_toks[1:]))
         got = [(p["w1"], p["w2"]) for p in r["bg"]]
         assert got == expected, (r["t"], got, expected)
@@ -235,3 +244,179 @@ def test_char_split_substr_equals_python_chars(spark, texts):
     rows = df.select("w", chars.alias("c")).collect()
     for r in rows:
         assert list(r["c"]) == list(r["w"]), (r["w"], r["c"])
+
+
+# --- batch-8 operator references ---------------------------------------------
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from create_proposals_using_vector_db_public_spark.operators import (
+    retrieval as R,
+)
+
+
+def _r6(x: float) -> float:
+    """Spark F.round semantics on doubles: HALF_UP over the shortest
+    decimal representation (BigDecimal.valueOf == Python repr)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _nrm(v):
+    n = 0.0
+    for x in v:
+        n += x * x
+    n = math.sqrt(n)
+    return v if n == 0.0 else [x / n for x in v]
+
+
+def _dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+_VECSETS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # cluster
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_VECSETS)
+def test_semdedup_keep_equals_python_reference(spark, rows):
+    """semdedup_keep must equal the brute-force rule: drop i iff some
+    lower-id SAME-cluster member has round(dot(normalize), 6) > tau."""
+    tau = 0.5
+    data = [(i, cl, [float(x) for x in vec]) for i, (cl, vec) in enumerate(rows)]
+    vh = {i: (cl, _nrm(v)) for i, cl, v in data}
+    ids = sorted(vh)
+    expect = sorted(
+        b
+        for b in ids
+        if not any(
+            a < b
+            and vh[a][0] == vh[b][0]
+            and _r6(_dot(vh[a][1], vh[b][1])) > tau
+            for a in ids
+        )
+    )
+    df = spark.createDataFrame(
+        data, "vec_id: long, centroid_id: long, embedding: array<double>"
+    )
+    got = sorted(
+        r["vec_id"] for r in D.semdedup_keep(df, threshold=tau).collect()
+    )
+    assert got == expect
+
+
+_MMR_CANDS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),  # rel in 1/100ths
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: (t[0], tuple(t[1])),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_MMR_CANDS)
+def test_mmr_select_equals_python_greedy(spark, cands):
+    """mmr_select must replay the greedy reference: each step picks the
+    max of round(0.5*rel - 0.5*maxsim, 6) with ties broken by id. Sims
+    mirror cosine_sim on the raw vectors (dot/(|a||b|), rounded to 6dp);
+    a zero-norm vector yields NULL sim, which max() skips — and when ALL
+    its sims are NULL the row drops out of the argmax join entirely, so
+    the reference skips it too."""
+    lam = 0.5
+    k = min(4, len(cands))
+    data = [
+        (i, [float(x) for x in vec], rel / 100.0)
+        for i, (rel, vec) in enumerate(cands)
+    ]
+
+    def cos(a, b):
+        na, nb = math.sqrt(_dot(a, a)), math.sqrt(_dot(b, b))
+        if na * nb == 0.0:
+            return None
+        return _r6(_dot(a, b) / (na * nb))
+
+    remaining = {i: (v, r) for i, v, r in data}
+    # (rel desc, id asc) argmax, matching the operator's tie-break
+    best = sorted(remaining, key=lambda i: (-remaining[i][1], i))[0]
+    expect = [(best, 1)]
+    selected = [best]
+    del remaining[best]
+    for step in range(2, k + 1):
+        if not remaining:
+            break
+        scored = {}
+        for i, (v, r) in remaining.items():
+            sims = [cos(v, dict((d[0], d[1]) for d in data)[s]) for s in selected]
+            sims = [s for s in sims if s is not None]
+            ms = max(sims) if sims else None
+            if ms is None:
+                continue  # all-NULL sim: engine drops the row from the argmax join
+            scored[i] = _r6(lam * r - (1.0 - lam) * ms)
+        if not scored:
+            break
+        nxt = sorted(scored, key=lambda i: (-scored[i], i))[0]
+        expect.append((nxt, step))
+        selected.append(nxt)
+        del remaining[nxt]
+    df = spark.createDataFrame(
+        data, "doc_id: long, emb: array<double>, rel: double"
+    )
+    got = sorted(
+        (r["doc_id"], r["mmr_rank"])
+        for r in R.mmr_select(df, k=k, lam=lam).collect()
+    )
+    assert got == sorted(expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_TEXTS)
+def test_tokens_cross_engine_equals_duckdb_d_words(spark, texts):
+    """THE tokenizer contract: functions.text.tokens (Spark/Java) and
+    plans.duck.d_words (DuckDB/RE2) must produce identical token arrays
+    for ANY input — including the live divergences this property
+    originally caught: Java \\s splits on \\x0B where RE2's does not, and
+    DuckDB's default trim strips unicode whitespace (NBSP) where Spark's
+    strips only U+0020. d_words pins both down explicitly."""
+    import duckdb
+
+    from create_proposals_using_vector_db_public_spark.plans.duck import (
+        d_words,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: int, t: string"
+    )
+    got_spark = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", T.tokens(F.col("t")).alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t_in", __import__("pandas").DataFrame(
+        {"i": list(range(len(texts))), "t": texts}
+    ))
+    got_duck = {
+        i: list(toks)
+        for i, toks in con.execute(
+            f"SELECT i, {d_words('t')} FROM t_in"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
