@@ -352,3 +352,55 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         ),
     )
+
+
+# --- prefix autocomplete ------------------------------------------------------
+
+_COMPLETE_PREFIX_LEN = 2
+_COMPLETE_TOPK = 3
+
+_PREFIX_COMPLETE_ORACLE = f"""
+WITH w AS (
+  SELECT unnest({_WORDS}) AS term FROM documents
+), tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM w
+  WHERE length(term) >= {_COMPLETE_PREFIX_LEN}
+  GROUP BY term
+), ranked AS (
+  SELECT substr(term, 1, {_COMPLETE_PREFIX_LEN}) AS prefix, term, freq,
+         CAST(row_number() OVER (
+           PARTITION BY substr(term, 1, {_COMPLETE_PREFIX_LEN})
+           ORDER BY freq DESC, term ASC
+         ) AS INTEGER) AS rnk
+  FROM tf
+)
+SELECT prefix, term, freq, rnk FROM ranked WHERE rnk <= {_COMPLETE_TOPK}
+"""
+
+
+@query("q_prefix_complete", oracle=_PREFIX_COMPLETE_ORACLE)
+def q_prefix_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index: top-3 completions per 2-char prefix by corpus
+    frequency — the precomputed table a search box reads on every
+    keystroke. Scale shape: the corpus collapses to the vocabulary-sized
+    term-frequency table first (Heaps' law); the per-prefix rank windows
+    over that small table, partitioned by prefix. Ties break on the term,
+    so the index is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens("text")).alias("term"))
+        .filter(F.length("term") >= _COMPLETE_PREFIX_LEN)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    return (
+        tf.withColumn(
+            "prefix", F.substring("term", 1, _COMPLETE_PREFIX_LEN)
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _COMPLETE_TOPK)
+        .select("prefix", "term", "freq", "rnk")
+    )

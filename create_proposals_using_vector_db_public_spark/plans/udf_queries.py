@@ -331,3 +331,109 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").alias("max_bytes"),
         )
     )
+
+
+# --- Python UDTF with analyze() (dynamic output schema) ----------------------
+
+_UDTF_NGRAM_N = 3
+
+_UDTF_ANALYZE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '),
+                                    x -> trim(x, ' ')),
+                     x -> length(x) > 0) AS words
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS gram_idx,
+       words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3
+FROM (
+  SELECT doc_id, words,
+         unnest(range(1, len(words) - {_UDTF_NGRAM_N - 2})) AS i
+  FROM w WHERE len(words) >= {_UDTF_NGRAM_N}
+)
+"""
+
+
+@query("q_udtf_analyze", oracle=_UDTF_ANALYZE_ORACLE)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static analyze() method — the DYNAMIC-schema
+    table-function surface (q_udtf_tokens has a fixed returnType): the
+    output schema (one word column per n-gram position) is computed at
+    plan time from the literal n argument. Same per-partition streaming
+    execution as any UDTF; the n=3 call emits (gram_idx, w1, w2, w3)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGramEmit:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            return AnalyzeResult(
+                StructType(
+                    [StructField("gram_idx", IntegerType())]
+                    + [
+                        StructField(f"w{i + 1}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            toks = [t for t in (w.strip(" ") for w in text.split(" ")) if t]
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    spark.udtf.register("ngram_emit", udtf(NGramEmit))
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_ngram_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.gram_idx, t.w1, t.w2, t.w3 "
+        "FROM __udtf_ngram_docs d, "
+        f"LATERAL ngram_emit(d.text, {_UDTF_NGRAM_N}) t"
+    )
+
+
+# --- Arrow-optimized scalar Python UDF ---------------------------------------
+
+_ARROW_UDF_ORACLE = """
+SELECT doc_id,
+       CAST(length(list_filter(list_transform(
+              generate_series(1, length(text)), i -> substr(text, i, 1)),
+            c -> c IN ('a','e','i','o','u'))) AS INTEGER) AS n_vowels,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents WHERE doc_id < 100
+"""
+
+
+@query("q_udf_arrow", oracle=_ARROW_UDF_ORACLE)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (useArrow=True) — the third
+    Python scalar path next to row-pickled udf() and pandas_udf: Arrow
+    batch transfer with per-row Python logic. The vowel count is integer
+    arithmetic, so the result is oracle-exact; what the query proves is
+    the execution surface."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import IntegerType
+
+    @udf(returnType=IntegerType(), useArrow=True)
+    def n_vowels(text: str) -> int:
+        if text is None:
+            return 0
+        return sum(1 for c in text if c in "aeiou")
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        n_vowels("text").alias("n_vowels"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
