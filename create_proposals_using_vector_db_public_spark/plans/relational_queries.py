@@ -923,3 +923,46 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
         F.round(F.first("o_totalprice").over(w), 2).alias("group_max_price"),
     )
+
+
+# --- VARIANT semi-structured type (Spark 4) ----------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_variant_json", oracle=_VARIANT_ORACLE)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type for semi-structured data: parse_json once
+    into the binary variant encoding, then variant_get typed extraction —
+    the engine-native path that replaces per-access string re-parsing
+    (q_json_props shows get_json_object; q_from_json the static-schema
+    struct; this completes the trio with the schema-flexible one).
+
+    Scale note: VARIANT parses each props string ONCE and shreds fields
+    on access from the binary form — with many extractions per row this
+    beats repeated get_json_object scans of the raw text. Extraction is
+    typed (bigint), so the aggregate is integer-exact."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("vp")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("vp"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

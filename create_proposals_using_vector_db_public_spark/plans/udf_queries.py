@@ -437,3 +437,54 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_vowels("text").alias("n_vowels"),
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+# --- mapInArrow (RecordBatch-level Python transform) -------------------------
+
+_MAP_ARROW_ORACLE = """
+WITH c AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_orderkey < 1000
+)
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM c GROUP BY l_orderkey
+"""
+
+
+@query("q_map_arrow", oracle=_MAP_ARROW_ORACLE)
+def q_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy RecordBatch surface below pandas
+    (no pandas conversion, columnar pyarrow.compute kernels directly).
+    The batch function converts price to exact integer cents; the
+    aggregate after it is ordinary Spark, so the result is oracle-exact
+    and the query proves the Arrow-batch execution path end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), cents],
+                names=["l_orderkey", "cents"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    cents = li.mapInArrow(to_cents, "l_orderkey long, cents long")
+    return cents.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"), F.sum("cents").alias("sum_cents")
+    )
