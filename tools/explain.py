@@ -47,6 +47,18 @@ NAMES = sys.argv[2:] or [
     "q_collocations",
     "q_bpe_merges",
     "q_dq_audit",
+    # round-2 batch 8
+    "q_gopher_quality",
+    "q_line_dedup",
+    "q_semdedup",
+    "q_ngram_diversity",
+    "q_rrf_fusion",
+    "q_query_expansion",
+    "q_k_anonymity",
+    "q_event_pattern",
+    "q_bpe_encode",
+    "q_prefix_complete",
+    "q_variant_json",
 ]
 
 
