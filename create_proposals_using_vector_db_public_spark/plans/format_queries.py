@@ -1,11 +1,11 @@
-"""Multi-format source/sink coverage: CSV, JSON-lines, and ORC.
+"""Multi-format source/sink coverage: CSV, JSON-lines, ORC, and XML.
 
 The reference's only persistence is pickle + a FAISS file
 (app.py:161-168); the Spark engine's native sinks are columnar files.
 q_sink_roundtrip / q_partitioned_sink already prove parquet (the
 primary format); this module proves the interchange formats a real
-lake ingests from — CSV and JSONL — plus ORC as the second columnar
-format, each through a full write → read-with-explicit-schema → verify
+lake ingests from — CSV, JSONL, and XML — plus ORC as the second
+columnar format, each through a full write → read-with-explicit-schema → verify
 cycle.
 
 The verification aggregate is order-independent and exact: row count,
@@ -31,7 +31,7 @@ from .registry import query
 
 _FMT_WORDS = d_words()
 
-_FORMATS = ("csv", "json", "orc")
+_FORMATS = ("csv", "json", "orc", "xml")
 
 _FORMAT_ORACLE = f"""
 WITH stats AS (
@@ -41,13 +41,14 @@ WITH stats AS (
   FROM documents
 )
 SELECT fmt, n_rows, sum_chars, content_sum
-FROM stats, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+FROM stats, (VALUES ('csv'), ('json'), ('orc'), ('xml')) AS f(fmt)
 """
 
 
 @query("q_format_roundtrip", oracle=_FORMAT_ORACLE)
 def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write documents to CSV (quoted/escaped), JSON-lines, and ORC;
+    """Write documents to CSV (quoted/escaped), JSON-lines, ORC, and
+    XML (Spark 4 built-in, rowTag element per row);
     read each back with an explicit schema (never inference — at 100 TB
     schema inference is a full extra scan); prove byte-level fidelity
     per format with exact order-independent aggregates.
@@ -91,10 +92,17 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = d.write.mode("overwrite").format(fmt)
         if fmt == "csv":
             w = w.options(**_CSV_OPTS)
+        if fmt == "xml":
+            # Spark 4 built-in XML needs an element name per row; note
+            # XML 1.0 cannot carry control chars (\x0B etc.) — fine for
+            # text corpora, another reason parquet is the landing format
+            w = w.option("rowTag", "doc")
         w.save(path)
         r = spark.read.format(fmt)
         if fmt == "csv":
             r = r.options(**_CSV_OPTS)
+        if fmt == "xml":
+            r = r.option("rowTag", "doc")
         back = r.schema(schema).load(path)
         outs.append(
             back.agg(
