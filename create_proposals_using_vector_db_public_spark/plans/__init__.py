@@ -55,18 +55,22 @@ _PRIORITY = [
     "q_winnow_dups", "q_scalar_subquery", "q_ann_lsh", "q_lag_lead",
     "q_stream_stateful", "q_ann_ivf_kmeans",
     # round-2 continuation — no prior driver row
-    "q_ann_recall", "q_stream_sliding", "q_stream_session", "q_stream_join",
-    "q_unpivot", "q_cosine_topk", "q_partitioned_sink",
+    "q_ann_recall", "q_stream_join",
     "q_udf_trimmed_mean", "q_udtf_tokens",
+    # round-2 batch 8 flagships — corpus curation, hybrid retrieval,
+    # governance, CEP, stream-stream join
+    "q_semdedup", "q_rrf_fusion", "q_gopher_quality", "q_line_dedup",
+    "q_k_anonymity", "q_event_pattern", "q_stream_stream_join",
     # text family (reference-parity ops R21-R25) — never reached
     "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
     "q_array_ops", "q_prompt_template",
     # temporal / streaming — never reached
     "q_asof_join", "q_range_join", "q_stream_tumbling",
-    "q_chunk_fixed",
     # ---- window boundary: everything below still registers + is parity-
     # checked locally (tools/parity.py), but yields its driver slot to the
     # entries above when the harness caps at 50 ----
+    "q_stream_sliding", "q_stream_session", "q_unpivot", "q_cosine_topk",
+    "q_partitioned_sink", "q_chunk_fixed",
     # round-2 batch 5: decorrelation suite, interval overlap, time rollup,
     # CMS sketch, domain mixing
     # round-2 batch 6: classic OLAP shapes (Q15/Q18/Q2/Q22/Q14/Q12/Q8)
