@@ -327,3 +327,63 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dup_cnt") > 1)
     )
+
+
+# --- incremental dedup: new batch vs existing index --------------------------
+#
+# The production shape of dedup is INCREMENTAL: yesterday's corpus is
+# already indexed; today's crawl must be checked against it AND against
+# itself (the corpus-scale generalization of the reference's per-file
+# skip logic, R9/R11). The planted corpus provides the split naturally:
+# original documents (doc_id < 100000) are the existing index, the
+# planted exact copies and near-duplicates (>= 100000) are the new batch.
+
+_BATCH_START = 100_000
+
+_DEDUP_INCR_ORACLE = f"""
+WITH pairs AS ({{minhash}})
+SELECT id_b AS doc_id,
+       CAST(min(id_a) AS BIGINT) AS first_dup,
+       CAST(sum(CASE WHEN id_a < {_BATCH_START} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_base_dups,
+       CAST(sum(CASE WHEN id_a >= {_BATCH_START} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch_dups
+FROM pairs
+WHERE id_b >= {_BATCH_START}
+GROUP BY id_b
+"""
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=_DEDUP_INCR_ORACLE.format(minhash=_MINHASH_ORACLE),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: for every new-batch document with a
+    near-duplicate, report its first (lowest-id) duplicate and the
+    partner counts per class — existing-index partners (n_base_dups > 0:
+    the ingest skips the doc, it's already represented) vs earlier-in-
+    batch partners (intra-crawl dups; non-vacuous on the fixture because
+    a source doc with both an exact copy and a near variant makes the
+    two plants mutual near-dups). A matches-batch-ONLY doc cannot exist
+    on the planted corpus — every plant matches its source — so the
+    decision stays in count form, not a classifier column that could
+    never fire here.
+
+    Scale shape: identical to q_dedup_minhash (banded LSH, no all-pairs)
+    plus one partial+final aggregate keyed by the batch doc id; the
+    existing index contributes signatures only, never text."""
+    pairs = D.minhash_dedup_pairs(
+        _corpus(spark, sf_dir), id_col="doc_id", text_col="text",
+        threshold=0.5,
+    )
+    batch = pairs.filter(F.col("id_b") >= _BATCH_START)
+    return batch.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("first_dup"),
+        F.sum(
+            F.when(F.col("id_a") < _BATCH_START, 1).otherwise(0)
+        ).alias("n_base_dups"),
+        F.sum(
+            F.when(F.col("id_a") >= _BATCH_START, 1).otherwise(0)
+        ).alias("n_batch_dups"),
+    )

@@ -576,6 +576,56 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "adist", "rank").orderBy("rank")
 
 
+
+
+def _sq8_code_table(emb):
+    """SQ8 codes per vector on ONE global per-dimension corpus grid (the
+    grid vectors must share for quantized distances to be comparable):
+    grid = per-dim min/max (one exploded aggregate, |dims| rows,
+    broadcast back as two arrays); codes are array-local. Shared by
+    q_sq_recall (prices the compression) and q_ann_rerank (uses it as the
+    coarse stage)."""
+    v = V.as_double_array("embedding")
+    occ = emb.select(F.posexplode(v).alias("dim", "x"))
+    grid = (
+        occ.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "lo", "hi"))
+            ).alias("g")
+        )
+        .select(
+            F.transform("g", lambda s: s["lo"]).alias("los"),
+            F.transform("g", lambda s: s["hi"]).alias("his"),
+        )
+    )
+
+    def one(x, i):
+        # 0-based transform index i -> 1-based element_at
+        lo = F.element_at("los", i + F.lit(1))
+        hi = F.element_at("his", i + F.lit(1))
+        return (
+            F.when(hi == lo, F.lit(0).cast("long"))
+            .otherwise(F.floor((x - lo) / (hi - lo) * 255.0).cast("long"))
+        )
+
+    return emb.crossJoin(F.broadcast(grid)).select(
+        "vec_id", F.transform(v, one).alias("codes")
+    )
+
+
+def _sq8_dist2() -> F.Column:
+    """Integer squared L2 between a row's codes and broadcast qcodes."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("qcodes"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 # --- scalar-quantization recall ----------------------------------------------
 
 _SQ_RECALL_ORACLE = f"""
@@ -633,50 +683,12 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the same in-plan expression, never driver-side, so both
     engines run the identical float op sequence."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = V.as_double_array("embedding")
-    occ = emb.select(F.posexplode(v).alias("dim", "x"))
-    grid = (
-        occ.groupBy("dim")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "lo", "hi"))
-            ).alias("g")
-        )
-        .select(
-            F.transform("g", lambda s: s["lo"]).alias("los"),
-            F.transform("g", lambda s: s["hi"]).alias("his"),
-        )
-    )
-
-    def codes() -> F.Column:
-        # 0-based transform index i -> 1-based element_at
-        def one(x, i):
-            lo = F.element_at("los", i + F.lit(1))
-            hi = F.element_at("his", i + F.lit(1))
-            return (
-                F.when(hi == lo, F.lit(0).cast("long"))
-                .otherwise(
-                    F.floor((x - lo) / (hi - lo) * 255.0).cast("long")
-                )
-            )
-
-        return F.transform(v, one)
-
-    base = emb.crossJoin(F.broadcast(grid)).select(
-        "vec_id", codes().alias("codes")
-    )
+    base = _sq8_code_table(emb)
     qcodes = (
         base.filter(F.col("vec_id") == 11)
         .select(F.col("codes").alias("qcodes"))
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("qcodes"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _sq8_dist2()
     sq_top = (
         base.crossJoin(F.broadcast(qcodes))
         .select("vec_id", d2.alias("d2"))
@@ -698,4 +710,83 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count("sq_vec_id").cast("double") / F.count("*"), 6
         ).alias("recall_at_10"),
+    )
+
+
+# --- two-stage retrieval: quantized coarse scan + exact re-rank --------------
+
+_RERANK_QID = 23
+_RERANK_CAND = 100
+
+_ANN_RERANK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, {dd("embedding")} AS v FROM embeddings
+), dims AS (
+  SELECT u.i AS dim, min(v.v[u.i]) AS lo, max(v.v[u.i]) AS hi
+  FROM v, (SELECT unnest(range(1, 65)) AS i) u
+  GROUP BY u.i
+), qc AS (
+  SELECT v.vec_id, d.dim,
+         CASE WHEN d.hi = d.lo THEN 0
+              ELSE CAST(floor((v.v[d.dim] - d.lo) / (d.hi - d.lo) * 255.0)
+                        AS BIGINT) END AS c
+  FROM v, dims d
+), qq AS (
+  SELECT dim, c FROM qc WHERE vec_id = {_RERANK_QID}
+), cand AS (
+  SELECT a.vec_id
+  FROM qc a JOIN qq ON a.dim = qq.dim
+  GROUP BY a.vec_id
+  ORDER BY sum((a.c - qq.c) * (a.c - qq.c)) ASC, a.vec_id ASC
+  LIMIT {_RERANK_CAND}
+), q AS (
+  SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = {_RERANK_QID}
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist,
+         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+  FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id, label, dist, cosine,
+       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER)
+         AS rank
+FROM scored
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("q_ann_rerank", oracle=_ANN_RERANK_ORACLE)
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production serving pattern every vector
+    store converges on: a cheap quantized scan (SQ8 integer distances,
+    4x less data touched) narrows the corpus to 100 candidates, then
+    exact float re-ranking runs only on those. Completes the family:
+    q_sq_recall prices the coarse stage alone; this composes the stages
+    so the final top-10 quality depends on the coarse stage only through
+    its candidate RECALL, not its distance precision.
+
+    Scale shape: stage 1 is a TakeOrdered heap over exact BIGINT
+    distances (no vector shuffle — codes are array-local against the
+    broadcast query codes); stage 2 joins the 100-id candidate list
+    (broadcast) back to the corpus and re-ranks with another TakeOrdered.
+    At 100 TB the coarse scan reads the int8 code column only — a quarter
+    of the float32 bytes — and the exact stage touches 100 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _sq8_code_table(emb)
+    qcodes = (
+        base.filter(F.col("vec_id") == _RERANK_QID)
+        .select(F.col("codes").alias("qcodes"))
+    )
+    cand = (
+        base.crossJoin(F.broadcast(qcodes))
+        .select("vec_id", _sq8_dist2().alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(_RERANK_CAND)
+        .select("vec_id")
+    )
+    return K.knn(
+        emb.join(F.broadcast(cand), "vec_id"),
+        _query_vec(spark, sf_dir, _RERANK_QID),
+        k=10,
     )

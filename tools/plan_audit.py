@@ -60,6 +60,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_bpe_encode": {
         "nested_loop": "1-row pivoted merge-table broadcast cross join"
     },
+    "q_ann_rerank": {
+        "nested_loop": "1-row SQ grid + query-codes broadcast cross joins"
+    },
     "q_ann_pq": {"nested_loop": "1-row query + codebook broadcast"},
     "q_ann_ivfpq": {"nested_loop": "1-row query + codebook broadcast"},
     "q_pq_recall": {"nested_loop": "1-row query + codebook broadcast"},
