@@ -515,3 +515,58 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- map-typed higher-order functions ----------------------------------------
+
+_MAP_OPS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents WHERE doc_id < 50
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY doc_id, term
+)
+SELECT doc_id, term, cnt * 2 AS boosted
+FROM tf WHERE cnt >= 2
+"""
+
+
+@query("q_map_ops", oracle=_MAP_OPS_ORACLE)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType + the map higher-order functions — the one Spark type
+    family the registry didn't exercise yet: per-document term counts
+    become a map (map_from_entries over value-sorted entries), map_filter
+    keeps terms with count >= 2, transform_values boosts the counts, and
+    map_entries explodes back to rows. Maps never reach the OUTPUT (map
+    iteration order is engine-specific, so a map column would break the
+    value hash); the relational projection at the end is what both
+    engines compare.
+
+    Scale shape: the map is built AFTER the (doc, term) aggregate, so it
+    is a per-row array-local container over vocabulary-bounded entries —
+    the same rows a plain groupBy would carry, just reshaped."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tf = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    m = tf.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("term", "cnt")))
+        ).alias("tfmap")
+    )
+    boosted = m.select(
+        "doc_id",
+        F.transform_values(
+            F.map_filter("tfmap", lambda k, v: v >= 2),
+            lambda k, v: v * 2,
+        ).alias("kept"),
+    )
+    return boosted.select(
+        "doc_id", F.explode(F.map_entries("kept")).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.key").alias("term"),
+        F.col("e.value").alias("boosted"),
+    )
