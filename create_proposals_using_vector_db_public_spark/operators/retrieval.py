@@ -133,13 +133,16 @@ def mmr_select(
     by id). Each step's ``selected`` is localCheckpoint-ed (it is <= k
     tiny rows): the loop body references it ~4 times, so an uncached
     chain would grow the logical plan ~4^k and re-execute every prior
-    step — checkpointing keeps planning and execution linear in k."""
+    step — checkpointing keeps planning and execution linear in k.
+    eager=False so building/explaining the plan runs NO jobs (measured
+    equivalent to eager at k=8; an unchecked chain at k=8 hangs the
+    analyzer) — materialization happens at the first real action."""
     base = cand.select(id_col, vec_col, rel_col)
     selected = (
         base.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
         .limit(1)
         .withColumn("mmr_rank", F.lit(1))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for step in range(2, k + 1):
         sel_vecs = F.broadcast(
@@ -170,5 +173,5 @@ def mmr_select(
             .select(id_col, vec_col, rel_col)
             .withColumn("mmr_rank", F.lit(step))
         )
-        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+        selected = selected.unionByName(nxt).localCheckpoint(eager=False)
     return selected.select(id_col, rel_col, "mmr_rank")

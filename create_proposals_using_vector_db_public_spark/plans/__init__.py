@@ -49,7 +49,7 @@ _PRIORITY = [
     # round-2 flagship additions: e2e composition, PQ, corpus assembly
     "q_e2e_corpus", "q_ann_pq", "q_decontaminate", "q_pack_sequences",
     "q_bloom_join", "q_incremental_agg", "q_gap_fill", "q_full_outer",
-    "q_pq_recall", "q_ann_ivfpq", "q_funnel", "q_retention", "q_scd2", "q_fuzzy_match",
+    "q_funnel", "q_retention", "q_scd2", "q_fuzzy_match",
     # round-2 batch 1 — no prior driver row
     "q_pii_scrub", "q_repetition_ratio", "q_boilerplate_lines", "q_dup_clusters",
     "q_winnow_dups", "q_scalar_subquery", "q_ann_lsh", "q_lag_lead",
@@ -69,6 +69,9 @@ _PRIORITY = [
     # ---- window boundary: everything below still registers + is parity-
     # checked locally (tools/parity.py), but yields its driver slot to the
     # entries above when the harness caps at 50 ----
+    # pq_recall/ivfpq demoted: the 50-slot window already carries 5 ANN
+    # entries; the recall/ivfpq variants are the least-distinct two
+    "q_pq_recall", "q_ann_ivfpq",
     "q_stream_sliding", "q_stream_session", "q_unpivot", "q_cosine_topk",
     "q_partitioned_sink", "q_chunk_fixed",
     # round-2 batch 5: decorrelation suite, interval overlap, time rollup,

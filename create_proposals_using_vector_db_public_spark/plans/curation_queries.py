@@ -24,7 +24,7 @@ from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import knn as K
 from ..sources import load_table
-from .duck import d_cosine, d_dot, d_l2, dd, d_words
+from .duck import d_cosine, d_dot, d_l2, d_normalize, dd, d_words
 from .registry import query
 
 # --- Gopher-style quality rules ---------------------------------------------
@@ -215,17 +215,6 @@ _SEMDEDUP_TAU = 0.3
 _SEMDEDUP_NCENT = 32
 
 
-def _d_normalize(a: str) -> str:
-    """Mirror of functions.vectors.normalize: x / sqrt(sequential dot),
-    zero vectors pass through."""
-    from .duck import d_norm as _dn
-
-    return (
-        f"CASE WHEN {_dn(a)} <> 0.0 "
-        f"THEN list_transform({a}, x -> x / {_dn(a)}) ELSE {a} END"
-    )
-
-
 _SEMDEDUP_ORACLE = f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, {dd("embedding")} AS cv
@@ -244,7 +233,7 @@ WITH cents AS (
   ) WHERE rn = 1
 ), assigned AS (
   SELECT vec_id, centroid_id,
-         {_d_normalize(dd("embedding"))} AS vh
+         {d_normalize(dd("embedding"))} AS vh
   FROM assigned0
 ), dropped AS (
   SELECT DISTINCT b.vec_id

@@ -65,3 +65,12 @@ def d_words(col: str = "text") -> str:
         f"string_split_regex({col}, '[ \\t\\n\\x0B\\f\\r]+'), "
         "w -> trim(w, ' ')), w -> length(w) > 0)"
     )
+
+
+def d_normalize(a: str) -> str:
+    """Mirror of ``functions.vectors.normalize``: x / sqrt(sequential
+    dot), zero vectors pass through unchanged."""
+    return (
+        f"CASE WHEN {d_norm(a)} <> 0.0 "
+        f"THEN list_transform({a}, x -> x / {d_norm(a)}) ELSE {a} END"
+    )

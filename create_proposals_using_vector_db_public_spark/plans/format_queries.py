@@ -102,7 +102,13 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if fmt == "csv":
             r = r.options(**_CSV_OPTS)
         if fmt == "xml":
-            r = r.option("rowTag", "doc")
+            # ignoreSurroundingSpaces defaults TRUE and silently trims
+            # leading/trailing whitespace on read — the same class of
+            # corruption the CSV options above disable (verified live:
+            # '  padded  ' reads back as 'padded' without this)
+            r = r.option("rowTag", "doc").option(
+                "ignoreSurroundingSpaces", "false"
+            )
         back = r.schema(schema).load(path)
         outs.append(
             back.agg(

@@ -427,8 +427,11 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(returnType=IntegerType(), useArrow=True)
     def n_vowels(text: str) -> int:
+        # NULL in, NULL out — the oracle's expression NULL-propagates,
+        # and returning 0 here would be a latent parity break on any
+        # corpus with NULL text
         if text is None:
-            return 0
+            return None
         return sum(1 for c in text if c in "aeiou")
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)

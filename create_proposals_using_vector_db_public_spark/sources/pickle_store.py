@@ -148,6 +148,11 @@ class RefPickleStreamReader(SimpleDataSourceStreamReader):
         return {"upto": ""}
 
     def _files(self) -> list[str]:
+        # a not-yet-created watch directory is "no shards yet", not an
+        # error — the reference's folder-rescan semantics idle and pick
+        # up content when it appears
+        if not os.path.isdir(self._dir):
+            return []
         return sorted(
             n
             for n in os.listdir(self._dir)

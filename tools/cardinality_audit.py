@@ -46,7 +46,13 @@ def main() -> int:
         except Exception as e:  # audit must not die on one query
             print(f"err  {name}: {type(e).__name__}: {e}")
             continue
-        ratio = (n_big / n_small) if n_small else float(n_big > 0)
+        # zero baseline: ANY rows appearing at the big SF is unbounded
+        # growth relative to 0 — flag it (inf), don't mask it as x1
+        ratio = (
+            (n_big / n_small)
+            if n_small
+            else (float("inf") if n_big else 1.0)
+        )
         line = f"{name}: {n_small} -> {n_big} rows (x{ratio:.1f})"
         if ratio > data_ratio * SLACK:
             flagged.append((name, n_small, n_big, ratio))
