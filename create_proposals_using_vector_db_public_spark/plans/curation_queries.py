@@ -328,3 +328,74 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("gh").cast("double") / F.count("*"), 6
         ).alias("distinct_ratio"),
     )
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+#
+# Crawl pipelines dedup by canonical URL before touching content. The
+# fixture has no URL column, so deterministic URLs are planted from
+# doc_id (same device as the PII/boilerplate plants): mixed-case host,
+# explicit default port, tracking query params, trailing slash. Distinct
+# raw URLs collapse 5:1 at sf0.01 (doc_id mod lcm(20,25)=100 canonical
+# groups), so the dedup is non-vacuous at every SF.
+
+_URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         'https://WWW.Src' || (doc_id % 20) ||
+         '.Example.com:443/docs/' || (doc_id % 25) ||
+         '/?utm_source=feed&ref=' || doc_id AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url,
+         rtrim(
+           regexp_replace(
+             regexp_replace(lower(url), ':443/', '/'),
+             '[?].*$', ''),
+           '/') AS curl
+  FROM raw
+)
+SELECT curl,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM canon
+GROUP BY curl
+"""
+
+
+@query("q_dedup_url", oracle=_URL_CANON_ORACLE)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the cheapest crawl dedup layer, run
+    before any content hashing: lowercase, drop the default port, strip
+    the query string (tracking params), strip the trailing slash, then
+    group by canonical form keeping the first doc id.
+
+    Scale shape: canonicalization is per-row string ops in the scan
+    projection; the groupBy key is the canonical URL (hash it first when
+    URLs are long). Zero joins; one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW.Src"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example.com:443/docs/"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("/?utm_source=feed&ref="), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    # Spark's 2-arg rtrim is (trimStr, str) — REVERSED from DuckDB's
+    # rtrim(str, chars) — so the portable spelling is the SQL-standard
+    # TRIM(TRAILING ... FROM ...) form
+    curl = F.expr(
+        "trim(TRAILING '/' FROM "
+        "regexp_replace(regexp_replace(lower(url), ':443/', '/'),"
+        " '[?].*$', ''))"
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

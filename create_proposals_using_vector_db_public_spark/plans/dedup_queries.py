@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..operators import dedup as D
 from ..sources import load_table
 from .duck import d_cosine, dd, d_words
@@ -386,4 +387,160 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("id_a") >= _BATCH_START, 1).otherwise(0)
         ).alias("n_batch_dups"),
+    )
+
+
+# --- MinHash quality evaluation (precision / recall) -------------------------
+#
+# q_ann_recall / q_pq_recall / q_sq_recall price the ANN approximations;
+# this prices the DEDUP approximation the same way: every emitted MinHash
+# pair is verified against exact 3-word-shingle Jaccard (the verify stage
+# a production near-dup pipeline runs anyway), and recall is measured
+# against the planted ground-truth relations whose exact Jaccard clears
+# the threshold. All counts are exact integers; the two ratios are single
+# divides.
+
+_EVAL_SHINGLES_SQL = """
+  list_distinct(CASE WHEN len(words) >= 3 THEN
+    list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+  ELSE [] END)
+"""
+
+_MINHASH_EVAL_ORACLE = f"""
+WITH pairs AS ({_MINHASH_ORACLE}),
+{_CORPUS_SQL.strip()},
+wsh AS (
+  SELECT doc_id, {_EVAL_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_WORDS} AS words FROM corpus)
+), jac AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS ni,
+         len(a.sh) + len(b.sh)
+           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS nu
+  FROM pairs p
+  JOIN wsh a ON p.id_a = a.doc_id
+  JOIN wsh b ON p.id_b = b.doc_id
+), em AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_emitted,
+         CAST(sum(CASE WHEN nu > 0 AND 2 * ni >= nu THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_emitted
+  FROM jac
+), truth0 AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id % 70 = 0
+  UNION ALL
+  SELECT doc_id + 100000, doc_id + 200000
+  FROM documents WHERE doc_id % 350 = 0
+), truth AS (
+  SELECT t.id_a, t.id_b
+  FROM truth0 t
+  JOIN wsh a ON t.id_a = a.doc_id
+  JOIN wsh b ON t.id_b = b.doc_id
+  WHERE len(a.sh) + len(b.sh)
+          - len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0
+    AND 2 * len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+        >= len(a.sh) + len(b.sh)
+          - len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+), tr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(count(p.id_a) AS BIGINT) AS n_found
+  FROM truth t
+  LEFT JOIN pairs p ON t.id_a = p.id_a AND t.id_b = p.id_b
+)
+SELECT em.n_emitted, em.n_true_emitted,
+       round(CAST(em.n_true_emitted AS DOUBLE) / em.n_emitted, 6)
+         AS precision,
+       tr.n_truth, tr.n_found,
+       round(CAST(tr.n_found AS DOUBLE) / tr.n_truth, 6) AS recall
+FROM em, tr
+"""
+
+
+@query("q_minhash_eval", oracle=_MINHASH_EVAL_ORACLE)
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision and recall of the banded MinHash dedup: emitted pairs are
+    exact-Jaccard verified (array-local intersect over distinct 3-word
+    shingles — the standard verify stage, run on LSH-bounded pairs only),
+    and recall counts how many planted ground-truth relations with true
+    Jaccard >= 0.5 the 8-hash/2-band config finds. The number that
+    motivates the production 128/16 parameterization the operator already
+    exposes.
+
+    Scale shape: verification joins shingle ARRAYS only onto the emitted
+    pair list (LSH-bounded, never all-pairs); the truth set is plant-
+    derived (3 rows per 350 docs). The is-true test is an integer
+    cross-multiply (2*|intersect| >= |union|), so every count is exact."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id",
+        F.array_distinct(T.word_shingles("text", 3)).alias("sh"),
+    )
+    emitted = D.minhash_dedup_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+
+    def with_true(pairs: DataFrame) -> DataFrame:
+        ni = F.size(F.array_intersect("sha", "shb"))
+        nu = F.size("sha") + F.size("shb") - ni
+        return (
+            pairs.join(
+                sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")),
+                "id_b",
+            )
+            .withColumn("is_true", (nu > 0) & (2 * ni >= nu))
+        )
+
+    em = with_true(emitted).agg(
+        F.count("*").alias("n_emitted"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true_emitted"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    truth0 = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 70 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 350 == 0).select(
+                (F.col("doc_id") + 100000).alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+    )
+    truth = with_true(truth0).filter("is_true").select("id_a", "id_b")
+    found = truth.join(
+        emitted.select(
+            F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b")
+        ),
+        (F.col("id_a") == F.col("e_a")) & (F.col("id_b") == F.col("e_b")),
+        "left",
+    )
+    tr = found.agg(
+        F.count("*").alias("n_truth"), F.count("e_a").alias("n_found")
+    )
+    return em.crossJoin(F.broadcast(tr)).select(
+        "n_emitted",
+        "n_true_emitted",
+        F.round(
+            F.col("n_true_emitted").cast("double") / F.col("n_emitted"), 6
+        ).alias("precision"),
+        "n_truth",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_truth"), 6
+        ).alias("recall"),
     )

@@ -487,3 +487,73 @@ def q_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("typicality"),
         )
     )
+
+
+# --- dataset card --------------------------------------------------------------
+
+_CARD_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ',
+                                 'g'), ' ')) AS fp,
+         {d_words()} AS words
+  FROM documents
+), doc_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+  FROM w
+), vocab AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_terms
+  FROM (SELECT unnest(words) AS t FROM w)
+)
+SELECT d.n_docs, d.n_tokens, v.n_distinct_terms, d.n_langs, d.n_sources,
+       d.n_exact_dups,
+       round(CAST(d.n_tokens AS DOUBLE) / d.n_docs, 6) AS mean_doc_tokens
+FROM doc_stats d, vocab v
+"""
+
+
+@query("q_dataset_card", oracle=_CARD_ORACLE)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card a corpus release ships: one row of corpus-level
+    facts — document and token counts, vocabulary size, language and
+    source coverage, exact-duplicate count (fingerprint collisions), and
+    mean document length. Composes the engine's own primitives
+    (fingerprint, tokenizer) into the release-gate summary.
+
+    Scale shape: ONE scan feeds both aggregates (the vocabulary distinct
+    is the only shuffle wider than a handful of rows — it collapses to
+    term space, Heaps-bounded); the two 1-row aggregates cross join. The
+    single divide runs on two exact BIGINTs."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.fingerprint("text").alias("fp"),
+        T.tokens("text").alias("words"),
+    )
+    doc_stats = w.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("words")).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
+    vocab = w.select(F.explode("words").alias("t")).agg(
+        F.countDistinct("t").alias("n_distinct_terms")
+    )
+    return doc_stats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_tokens",
+        "n_distinct_terms",
+        "n_langs",
+        "n_sources",
+        "n_exact_dups",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_doc_tokens"),
+    )

@@ -63,6 +63,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_ann_rerank": {
         "nested_loop": "1-row SQ grid + query-codes broadcast cross joins"
     },
+    "q_minhash_eval": {
+        "nested_loop": "two 1-row metric aggregates cross joined"
+    },
+    "q_dataset_card": {
+        "nested_loop": "two 1-row summary aggregates cross joined"
+    },
     "q_ann_pq": {"nested_loop": "1-row query + codebook broadcast"},
     "q_ann_ivfpq": {"nested_loop": "1-row query + codebook broadcast"},
     "q_pq_recall": {"nested_loop": "1-row query + codebook broadcast"},
