@@ -67,6 +67,10 @@ HEADLINE = [
     "q_semdedup",         # cluster-blocked semantic dedup
     "q_rrf_fusion",       # hybrid BM25 + vector fusion
     "q_k_anonymity",      # generalization-ladder governance audit
+    "q_event_pattern",    # CEP regex over ordered histories
+    "q_ann_rerank",       # SQ8 coarse scan + exact re-rank
+    "q_dedup_incremental",  # crawl-vs-index MinHash classification
+    "q_minhash_eval",     # LSH precision/recall pricing
 ]
 
 
