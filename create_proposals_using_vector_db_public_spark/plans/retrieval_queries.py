@@ -404,3 +404,205 @@ def q_prefix_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _COMPLETE_TOPK)
         .select("prefix", "term", "freq", "rnk")
     )
+
+
+# --- end-to-end serving pipeline ---------------------------------------------
+#
+# The SERVING-side counterpart of q_e2e_corpus (which composes the
+# training-data path scrub→quality→dedup→chunk→embed): gate the corpus
+# with the Gopher quality rules, index the survivors, run hybrid search
+# (BM25 + stub-vector kNN), fuse by reciprocal rank, diversify with MMR.
+# One declared plan, oracle-exact end to end — the reference's whole
+# search flow (app.py:178-186) upgraded with the round-2 retrieval layer.
+
+_E2E_TERMS = ("spark", "join", "vector")
+_E2E_TOPK = 20
+_E2E_FUSED = 10
+_E2E_FINAL = 5
+
+
+def _e2e_mmr_sql(k: int) -> str:
+    """Greedy-MMR chain over the fused top-10 with rel = rrf score."""
+    parts = [
+        """sel1 AS (
+  SELECT doc_id, emb, rel, 1 AS mmr_rank FROM cand
+  ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT 1
+), all1 AS (SELECT * FROM sel1)"""
+    ]
+    for s in range(2, k + 1):
+        p = s - 1
+        parts.append(f"""rem{s} AS (
+  SELECT c.* FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM all{p})
+), ms{s} AS (
+  SELECT r.doc_id, max(round({d_cosine("r.emb", "s.emb")}, 6)) AS ms
+  FROM rem{s} r, all{p} s GROUP BY r.doc_id
+), sel{s} AS (
+  SELECT r.doc_id, r.emb, r.rel, {s} AS mmr_rank
+  FROM rem{s} r JOIN ms{s} m ON r.doc_id = m.doc_id
+  ORDER BY round(0.5 * r.rel - 0.5 * m.ms, 6) DESC NULLS LAST,
+           r.doc_id ASC
+  LIMIT 1
+), all{s} AS (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{s})""")
+    return ",\n".join(parts)
+
+
+_E2E_RAG_ORACLE = f"""
+WITH gm AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+), gstat AS (
+  SELECT doc_id, words,
+         len(words) AS n_words,
+         coalesce(list_sum(list_transform(words, t -> length(t))), 0)
+           AS n_wchars,
+         len(list_filter(words, t -> t IN ('the', 'a'))) AS n_stop
+  FROM gm
+), kept AS MATERIALIZED (
+  SELECT doc_id, words FROM gstat
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND 4 * n_wchars >= 15 * n_words AND 1 * n_wchars <= 5 * n_words
+    AND n_stop >= 2
+), h AS (
+  SELECT doc_id,
+         list_transform(words,
+           t -> instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) AS hashed
+  FROM kept
+), e AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           d -> CAST(len(list_filter(hashed, x -> x = d)) AS DOUBLE)) AS emb
+  FROM h
+), hq AS (
+  SELECT list_transform(words,
+           t -> instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) AS hashed
+  FROM gm WHERE doc_id = 0
+), q AS (
+  SELECT list_transform(range(0, 16),
+           d -> CAST(len(list_filter(hashed, x -> x = d)) AS DOUBLE)) AS qv
+  FROM hq
+), wt AS (
+  SELECT doc_id, unnest(words) AS term FROM kept
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM wt GROUP BY doc_id
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+),
+{_bm25_score_ctes(repr(_E2E_TERMS), "lex")},
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS INTEGER) AS rank_lex
+  FROM lexscore
+  ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {_E2E_TOPK}
+), vec AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY round({d_l2("e.emb", "q.qv")}, 6) ASC, doc_id ASC
+         ) AS INTEGER) AS rank_vec
+  FROM e, q
+  ORDER BY round({d_l2("e.emb", "q.qv")}, 6) ASC, doc_id ASC
+  LIMIT {_E2E_TOPK}
+), fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+         round(coalesce(1.0 / ({R.RRF_K} + l.rank_lex), 0.0)
+               + coalesce(1.0 / ({R.RRF_K} + v.rank_vec), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+), top AS (
+  SELECT doc_id, rrf FROM fused
+  ORDER BY rrf DESC, doc_id ASC LIMIT {_E2E_FUSED}
+), cand AS MATERIALIZED (
+  SELECT t.doc_id, e.emb, t.rrf AS rel
+  FROM top t JOIN e ON t.doc_id = e.doc_id
+),
+{_e2e_mmr_sql(_E2E_FINAL)}
+SELECT doc_id, rel AS rrf, mmr_rank FROM all{_E2E_FINAL}
+"""
+
+
+@query("q_e2e_rag", oracle=_E2E_RAG_ORACLE)
+def q_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end serving pipeline, one declared plan: Gopher quality
+    gate → BM25 and stub-vector arms over the surviving index → RRF
+    fusion top-10 → greedy MMR down to 5 diverse results (relevance =
+    fused score). The query embedding comes from the RAW corpus (a query
+    needn't pass the index gate). Every stage is the already-verified
+    operator; the composition itself is what this query pins.
+
+    Scale: the gate is a zero-shuffle projection; both retrieval arms
+    keep their corpus shapes (posting-list BM25, TakeOrdered kNN);
+    fusion/MMR touch <= 20 rows."""
+    from ..plans.curation_queries import (
+        _GOPHER_STOPWORDS,
+        _MIN_STOPWORDS,
+        _MIN_WORDS,
+        _MAX_WORDS,
+        _MWL_HI_DEN,
+        _MWL_HI_NUM,
+        _MWL_LO_DEN,
+        _MWL_LO_NUM,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = T.tokens("text")
+    g = d.select(
+        "doc_id",
+        "text",
+        F.size(words).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(words, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0),
+        ).alias("n_wchars"),
+        F.size(
+            F.filter(words, lambda t: t.isin(*_GOPHER_STOPWORDS))
+        ).cast("long").alias("n_stop"),
+    )
+    kept = g.filter(
+        (F.col("n_words") >= _MIN_WORDS)
+        & (F.col("n_words") <= _MAX_WORDS)
+        & (_MWL_LO_DEN * F.col("n_wchars") >= _MWL_LO_NUM * F.col("n_words"))
+        & (_MWL_HI_DEN * F.col("n_wchars") <= _MWL_HI_NUM * F.col("n_words"))
+        & (F.col("n_stop") >= _MIN_STOPWORDS)
+    ).select("doc_id", "text")
+    seeds = spark.createDataFrame([(t,) for t in _E2E_TERMS], "term: string")
+    lex_top = (
+        R.bm25_scores(kept, seeds)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_E2E_TOPK)
+    )
+    lex = lex_top.withColumn(
+        "rank_lex",
+        F.row_number().over(
+            Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank_lex")
+    emb = T.stub_embeddings_df(kept, "doc_id", "text")
+    qv = F.broadcast(
+        T.stub_embeddings_df(
+            d.filter(F.col("doc_id") == 0), "doc_id", "text"
+        ).select(F.col("emb").alias("qv"))
+    )
+    vec_top = (
+        emb.crossJoin(qv)
+        .select(
+            "doc_id",
+            F.round(V.l2_dist(F.col("emb"), F.col("qv")), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(_E2E_TOPK)
+    )
+    vec = vec_top.withColumn(
+        "rank_vec",
+        F.row_number().over(
+            Window.orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank_vec")
+    top = R.rrf_fuse(lex, vec).limit(_E2E_FUSED).select("doc_id", "rrf")
+    cand = top.join(emb, "doc_id").select(
+        "doc_id", "emb", F.col("rrf").alias("rel")
+    )
+    out = R.mmr_select(cand, k=_E2E_FINAL, lam=0.5)
+    return out.select("doc_id", F.col("rel").alias("rrf"), "mmr_rank")
