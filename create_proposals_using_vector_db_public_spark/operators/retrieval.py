@@ -141,7 +141,7 @@ def mmr_select(
     ``cand`` itself is also checkpointed: the loop references it 2x per
     step, so an expensive upstream candidate pipeline (q_e2e_rag's full
     gate→BM25→kNN→RRF chain) would otherwise re-execute ~2k times —
-    measured 737s → 11s at sf0.01 for the e2e composition."""
+    measured 737s → 15s at sf0.01 for the e2e composition."""
     base = cand.select(id_col, vec_col, rel_col).localCheckpoint(eager=False)
     selected = (
         base.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())

@@ -350,8 +350,8 @@ WITH raw AS (
   SELECT doc_id, url,
          rtrim(
            regexp_replace(
-             regexp_replace(lower(url), ':443/', '/'),
-             '[?].*$', ''),
+             regexp_replace(lower(url), ':443/', '/', 'g'),
+             '[?].*$', '', 'g'),
            '/') AS curl
   FROM raw
 )

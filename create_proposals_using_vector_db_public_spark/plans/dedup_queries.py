@@ -400,12 +400,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the threshold. All counts are exact integers; the two ratios are single
 # divides.
 
-_EVAL_SHINGLES_SQL = """
-  list_distinct(CASE WHEN len(words) >= 3 THEN
-    list_transform(range(1, len(words) - 1),
-                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-  ELSE [] END)
-"""
+# single source: the module's _SHINGLES builder (mirrors T.word_shingles)
+_EVAL_SHINGLES_SQL = f"list_distinct({_SHINGLES})"
 
 _MINHASH_EVAL_ORACLE = f"""
 WITH pairs AS ({_MINHASH_ORACLE}),

@@ -25,6 +25,16 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..operators import retrieval as R
 from ..sources import load_table
+from .curation_queries import (
+    _GOPHER_STOPWORDS,
+    _MAX_WORDS,
+    _MIN_STOPWORDS,
+    _MIN_WORDS,
+    _MWL_HI_DEN,
+    _MWL_HI_NUM,
+    _MWL_LO_DEN,
+    _MWL_LO_NUM,
+)
 from .duck import d_cosine, d_l2, d_words
 from .registry import query
 
@@ -167,16 +177,13 @@ _MMR_K = 5
 _MMR_LAM = 0.5
 
 
-def _mmr_sql(k: int) -> str:
-    """Unrolled greedy-MMR CTE chain mirroring
-    operators.retrieval.mmr_select step for step."""
+def _mmr_chain_sql(k: int, lam: float) -> str:
+    """sel1..all{k} greedy-MMR CTE chain over an existing CTE named
+    ``cand`` (doc_id, emb, rel) — THE single SQL mirror of
+    operators.retrieval.mmr_select, shared by q_mmr_rerank and q_e2e_rag
+    so the two oracles cannot drift."""
     parts = [
-        f"""cand AS (
-  SELECT e.doc_id, e.emb,
-         round({d_cosine("e.emb", "q.qv")}, 6) AS rel
-  FROM e, q
-  ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT {_MMR_CAND}
-), sel1 AS (
+        """sel1 AS (
   SELECT doc_id, emb, rel, 1 AS mmr_rank FROM cand
   ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT 1
 ), all1 AS (SELECT * FROM sel1)"""
@@ -192,11 +199,23 @@ def _mmr_sql(k: int) -> str:
 ), sel{s} AS (
   SELECT r.doc_id, r.emb, r.rel, {s} AS mmr_rank
   FROM rem{s} r JOIN ms{s} m ON r.doc_id = m.doc_id
-  ORDER BY round({_MMR_LAM} * r.rel - {1.0 - _MMR_LAM} * m.ms, 6)
+  ORDER BY round({lam} * r.rel - {1.0 - lam} * m.ms, 6)
            DESC NULLS LAST, r.doc_id ASC
   LIMIT 1
 ), all{s} AS (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{s})""")
     return ",\n".join(parts)
+
+
+def _mmr_sql(k: int) -> str:
+    """q_mmr_rerank's cand CTE (cosine-to-query top-20) + the shared
+    greedy chain."""
+    cand = f"""cand AS (
+  SELECT e.doc_id, e.emb,
+         round({d_cosine("e.emb", "q.qv")}, 6) AS rel
+  FROM e, q
+  ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT {_MMR_CAND}
+)"""
+    return cand + ",\n" + _mmr_chain_sql(k, _MMR_LAM)
 
 
 _MMR_ORACLE = f"""
@@ -421,32 +440,6 @@ _E2E_FUSED = 10
 _E2E_FINAL = 5
 
 
-def _e2e_mmr_sql(k: int) -> str:
-    """Greedy-MMR chain over the fused top-10 with rel = rrf score."""
-    parts = [
-        """sel1 AS (
-  SELECT doc_id, emb, rel, 1 AS mmr_rank FROM cand
-  ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT 1
-), all1 AS (SELECT * FROM sel1)"""
-    ]
-    for s in range(2, k + 1):
-        p = s - 1
-        parts.append(f"""rem{s} AS (
-  SELECT c.* FROM cand c
-  WHERE c.doc_id NOT IN (SELECT doc_id FROM all{p})
-), ms{s} AS (
-  SELECT r.doc_id, max(round({d_cosine("r.emb", "s.emb")}, 6)) AS ms
-  FROM rem{s} r, all{p} s GROUP BY r.doc_id
-), sel{s} AS (
-  SELECT r.doc_id, r.emb, r.rel, {s} AS mmr_rank
-  FROM rem{s} r JOIN ms{s} m ON r.doc_id = m.doc_id
-  ORDER BY round(0.5 * r.rel - 0.5 * m.ms, 6) DESC NULLS LAST,
-           r.doc_id ASC
-  LIMIT 1
-), all{s} AS (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{s})""")
-    return ",\n".join(parts)
-
-
 _E2E_RAG_ORACLE = f"""
 WITH gm AS (
   SELECT doc_id, {_WORDS} AS words FROM documents
@@ -455,13 +448,14 @@ WITH gm AS (
          len(words) AS n_words,
          coalesce(list_sum(list_transform(words, t -> length(t))), 0)
            AS n_wchars,
-         len(list_filter(words, t -> t IN ('the', 'a'))) AS n_stop
+         len(list_filter(words, t -> t IN ({", ".join(f"{chr(39)}{w}{chr(39)}" for w in _GOPHER_STOPWORDS)}))) AS n_stop
   FROM gm
 ), kept AS MATERIALIZED (
   SELECT doc_id, words FROM gstat
-  WHERE n_words >= 50 AND n_words <= 100000
-    AND 4 * n_wchars >= 15 * n_words AND 1 * n_wchars <= 5 * n_words
-    AND n_stop >= 2
+  WHERE n_words >= {_MIN_WORDS} AND n_words <= {_MAX_WORDS}
+    AND {_MWL_LO_DEN} * n_wchars >= {_MWL_LO_NUM} * n_words
+    AND {_MWL_HI_DEN} * n_wchars <= {_MWL_HI_NUM} * n_words
+    AND n_stop >= {_MIN_STOPWORDS}
 ), h AS (
   SELECT doc_id,
          list_transform(words,
@@ -513,7 +507,7 @@ lex AS (
   SELECT t.doc_id, e.emb, t.rrf AS rel
   FROM top t JOIN e ON t.doc_id = e.doc_id
 ),
-{_e2e_mmr_sql(_E2E_FINAL)}
+{_mmr_chain_sql(_E2E_FINAL, 0.5)}
 SELECT doc_id, rel AS rrf, mmr_rank FROM all{_E2E_FINAL}
 """
 
@@ -530,45 +524,44 @@ def q_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the gate is a zero-shuffle projection; both retrieval arms
     keep their corpus shapes (posting-list BM25, TakeOrdered kNN);
     fusion/MMR touch <= 20 rows."""
-    from ..plans.curation_queries import (
-        _GOPHER_STOPWORDS,
-        _MIN_STOPWORDS,
-        _MIN_WORDS,
-        _MAX_WORDS,
-        _MWL_HI_DEN,
-        _MWL_HI_NUM,
-        _MWL_LO_DEN,
-        _MWL_LO_NUM,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    words = T.tokens("text")
-    g = d.select(
-        "doc_id",
-        "text",
-        F.size(words).cast("long").alias("n_words"),
-        F.coalesce(
-            F.aggregate(
-                F.transform(words, lambda t: F.length(t).cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            ),
-            F.lit(0),
-        ).alias("n_wchars"),
-        F.size(
-            F.filter(words, lambda t: t.isin(*_GOPHER_STOPWORDS))
-        ).cast("long").alias("n_stop"),
+    # ONE tokenize/explode feeds both the gate metrics and the BM25
+    # postings (q_query_expansion's discipline; a doc with zero tokens
+    # drops out of the aggregate and fails the min-words gate either
+    # way). The stub-embedding arm is the only second tokenize pass —
+    # its bucket-count aggregate needs its own shape.
+    terms_all = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
     )
-    kept = g.filter(
-        (F.col("n_words") >= _MIN_WORDS)
-        & (F.col("n_words") <= _MAX_WORDS)
-        & (_MWL_LO_DEN * F.col("n_wchars") >= _MWL_LO_NUM * F.col("n_words"))
-        & (_MWL_HI_DEN * F.col("n_wchars") <= _MWL_HI_NUM * F.col("n_words"))
-        & (F.col("n_stop") >= _MIN_STOPWORDS)
-    ).select("doc_id", "text")
+    kept_ids = (
+        terms_all.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("term").cast("long")).alias("n_wchars"),
+            F.sum(
+                F.col("term").isin(*_GOPHER_STOPWORDS).cast("long")
+            ).alias("n_stop"),
+        )
+        .filter(
+            (F.col("n_words") >= _MIN_WORDS)
+            & (F.col("n_words") <= _MAX_WORDS)
+            & (
+                _MWL_LO_DEN * F.col("n_wchars")
+                >= _MWL_LO_NUM * F.col("n_words")
+            )
+            & (
+                _MWL_HI_DEN * F.col("n_wchars")
+                <= _MWL_HI_NUM * F.col("n_words")
+            )
+            & (F.col("n_stop") >= _MIN_STOPWORDS)
+        )
+        .select("doc_id")
+    )
+    kept = d.join(kept_ids, "doc_id").select("doc_id", "text")
+    postings = terms_all.join(kept_ids, "doc_id")
     seeds = spark.createDataFrame([(t,) for t in _E2E_TERMS], "term: string")
     lex_top = (
-        R.bm25_scores(kept, seeds)
+        R.bm25_scores(kept, seeds, postings=postings)
         .select("doc_id", F.round("score", 6).alias("s"))
         .orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(_E2E_TOPK)
