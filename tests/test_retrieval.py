@@ -142,3 +142,44 @@ def test_rrf_fuses_both_arms_on_fixture(spark):
     # at least one doc must come from each arm or from both
     assert any(r["rank_lex"] is not None for r in rows)
     assert any(r["rank_vec"] is not None for r in rows)
+
+
+# --- edge cases ---------------------------------------------------------------
+
+def test_mmr_k_exceeding_candidates_returns_all(spark):
+    cand = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.9), (2, [0.0, 1.0], 0.5)],
+        "doc_id: long, emb: array<double>, rel: double",
+    )
+    out = R.mmr_select(cand, k=5, lam=0.5).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+
+def test_rrf_one_empty_side_keeps_other(spark):
+    left = spark.createDataFrame([(10, 1)], "doc_id: long, rank_lex: int")
+    right = spark.createDataFrame([], "doc_id: long, rank_vec: int")
+    rows = R.rrf_fuse(left, right).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 10 and rows[0]["rank_vec"] is None
+    assert rows[0]["rrf"] == round(1 / 61, 6)
+
+
+def test_bm25_empty_term_set_scores_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "some words here")], "doc_id: long, text: string"
+    )
+    terms = spark.createDataFrame([], "term: string")
+    assert R.bm25_scores(docs, terms).count() == 0
+
+
+def test_bm25_duplicate_terms_do_not_double_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark other"), (2, "other words here")],
+        "doc_id: long, text: string",
+    )
+    once = spark.createDataFrame([("spark",)], "term: string")
+    twice = spark.createDataFrame([("spark",), ("spark",)], "term: string")
+    s1 = {r["doc_id"]: r["score"] for r in R.bm25_scores(docs, once).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in R.bm25_scores(docs, twice).collect()}
+    assert s1 == s2
