@@ -666,3 +666,29 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a", "n_b",
         )
     )
+
+
+# --- winnowing detector pricing ----------------------------------------------
+
+from .dedup_queries import _pair_eval, _pair_eval_oracle  # noqa: E402
+
+
+@query("q_winnow_eval", oracle=_pair_eval_oracle(_WINNOW_ORACLE))
+def q_winnow_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared precision/recall harness applied to the winnowed
+    passage-fingerprint detector — completing the dedup-pricing trio
+    (q_minhash_eval, q_simhash_eval). Winnowing targets COPIED PASSAGES
+    rather than whole-document similarity, so its numbers against the
+    whole-document Jaccard-0.5 truth quantify exactly that mismatch: the
+    trade a pipeline owner weighs when picking the detector mix."""
+    corpus = _corpus(spark, sf_dir)
+    emitted = D.winnow_dup_pairs(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        max_df=10,
+        min_shared=3,
+    ).select("id_a", "id_b")
+    return _pair_eval(spark, sf_dir, corpus, emitted)

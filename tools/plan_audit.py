@@ -69,6 +69,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_simhash_eval": {
         "nested_loop": "two 1-row metric aggregates cross joined"
     },
+    "q_winnow_eval": {
+        "nested_loop": "two 1-row metric aggregates cross joined"
+    },
     "q_dataset_card": {
         "nested_loop": "two 1-row summary aggregates cross joined"
     },
