@@ -542,12 +542,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # q_bpe_merges learns the merge table; this applies the top-3 merges in
 # rank order to the word-type table and reports the corpus token count
-# after each step — the encode side of the tokenizer. The symbol
-# sequence is encoded as a '|'-delimited string ('|a|b|c|</w>|'), so one
-# exhaustive left-to-right non-overlapping merge application is a plain
-# string replace of '|x|y|' with '|xy|' — replace() scans identically in
-# Spark and DuckDB, including the BPE corner where an overlapping
-# occurrence is skipped after a replacement consumes its left symbol.
+# after each step — the encode side of the tokenizer. Each symbol is
+# wrapped in its OWN delimiters ('|a||b||c||</w>|'), so adjacent
+# occurrences of a merge pair never share a boundary character: one
+# replace() of '|x||y|' with '|xy|' is exactly Sennrich's exhaustive
+# greedy left-to-right non-overlapping merge application ('abab' ->
+# [ab, ab], 'bbbb' -> [bb, bb]) and scans identically in Spark and
+# DuckDB. (A single-delimiter encoding '|a|b|' silently skips the
+# second of two immediately adjacent occurrences because the trailing
+# '|' of one match is the leading '|' of the next.) Symbol count is
+# pipes/2 per word.
 
 _BPE_STEPS = 3
 
@@ -555,7 +559,11 @@ _BPE_ENCODE_ORACLE = f"""
 WITH w AS (
   SELECT unnest({_WORDS_SQL}) AS wd FROM documents
 ), wt AS (
-  SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY wd
+  -- delimiter-collision guard: word types containing '|' are excluded
+  -- (0 on this corpus at every SF; production picks a delimiter outside
+  -- the alphabet), mirrored Spark-side
+  SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM w
+  WHERE wd NOT LIKE '%|%' GROUP BY wd
 ), sym AS (
   SELECT cnt,
          list_transform(generate_series(1, length(wd)),
@@ -583,24 +591,24 @@ WITH w AS (
   FROM ranked WHERE rk <= {_BPE_STEPS}
 ), enc AS (
   SELECT wt.cnt,
-         '|' || regexp_replace(wt.wd, '(.)', '\\1|', 'g') || '</w>|' AS s0,
+         regexp_replace(wt.wd, '(.)', '|\\1|', 'g') || '|</w>|' AS s0,
          m.*
   FROM wt, m
 ), e1 AS (
-  SELECT *, replace(s0, '|'||a1||'|'||b1||'|', '|'||a1||b1||'|') AS s1
+  SELECT *, replace(s0, '|'||a1||'||'||b1||'|', '|'||a1||b1||'|') AS s1
   FROM enc
 ), e2 AS (
-  SELECT *, replace(s1, '|'||a2||'|'||b2||'|', '|'||a2||b2||'|') AS s2
+  SELECT *, replace(s1, '|'||a2||'||'||b2||'|', '|'||a2||b2||'|') AS s2
   FROM e1
 ), e3 AS (
-  SELECT *, replace(s2, '|'||a3||'|'||b3||'|', '|'||a3||b3||'|') AS s3
+  SELECT *, replace(s2, '|'||a3||'||'||b3||'|', '|'||a3||b3||'|') AS s3
   FROM e2
 ), tot AS (
   SELECT
-    CAST(sum(cnt * (length(s0) - length(replace(s0,'|','')) - 1)) AS BIGINT) AS t0,
-    CAST(sum(cnt * (length(s1) - length(replace(s1,'|','')) - 1)) AS BIGINT) AS t1,
-    CAST(sum(cnt * (length(s2) - length(replace(s2,'|','')) - 1)) AS BIGINT) AS t2,
-    CAST(sum(cnt * (length(s3) - length(replace(s3,'|','')) - 1)) AS BIGINT) AS t3
+    CAST(sum(cnt * ((length(s0) - length(replace(s0,'|',''))) // 2)) AS BIGINT) AS t0,
+    CAST(sum(cnt * ((length(s1) - length(replace(s1,'|',''))) // 2)) AS BIGINT) AS t1,
+    CAST(sum(cnt * ((length(s2) - length(replace(s2,'|',''))) // 2)) AS BIGINT) AS t2,
+    CAST(sum(cnt * ((length(s3) - length(replace(s3,'|',''))) // 2)) AS BIGINT) AS t3
   FROM e3
 )
 SELECT CAST(0 AS INTEGER) AS step, CAST(NULL AS VARCHAR) AS sym1,
@@ -615,9 +623,14 @@ UNION ALL SELECT 3, m.a3, m.b3, t3 FROM tot, m
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the top-3 learned BPE merges in rank order (Sennrich et al.
     2016's encode step) and report the weighted corpus symbol count after
-    each — the compression curve a tokenizer-training run watches. Merge
-    application is exhaustive left-to-right within each word type via
-    delimited-string replace (identical scan semantics in both engines).
+    each — the compression curve a tokenizer-training run watches. Each
+    symbol is wrapped in its own delimiter pair ('|a||b||</w>|'), so a
+    single replace('|x||y|' -> '|xy|') IS exhaustive greedy left-to-right
+    non-overlapping merge application, including immediately adjacent
+    occurrences ('abab' -> [ab, ab]); replace() scans identically in
+    both engines. Word types containing the delimiter are excluded
+    (mirrored guard; zero on this corpus — production uses a delimiter
+    outside the alphabet).
 
     Scale shape: like q_bpe_merges, everything after the first aggregate
     runs on the vocabulary-sized word-TYPE table; the merge table pivots
@@ -628,6 +641,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     wt = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("wd"))
+        .filter(~F.col("wd").contains("|"))
         .groupBy("wd")
         .agg(F.count("*").alias("cnt"))
     )
@@ -682,9 +696,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = wt.crossJoin(F.broadcast(m)).withColumn(
         "s0",
         F.concat(
-            F.lit("|"),
-            F.regexp_replace("wd", "(.)", "$1|"),
-            F.lit("</w>|"),
+            F.regexp_replace("wd", "(.)", "|$1|"),
+            F.lit("|</w>|"),
         ),
     )
     for k in range(1, _BPE_STEPS + 1):
@@ -693,7 +706,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(
                 F.col(f"s{k-1}"),
                 F.concat(
-                    F.lit("|"), F.col(f"a{k}"), F.lit("|"),
+                    F.lit("|"), F.col(f"a{k}"), F.lit("||"),
                     F.col(f"b{k}"), F.lit("|"),
                 ),
                 F.concat(
@@ -703,11 +716,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def nsyms(c: str):
-        return (
-            F.length(c)
-            - F.length(F.replace(F.col(c), F.lit("|"), F.lit("")))
-            - 1
+        # every symbol carries exactly two pipes of its own; the count is
+        # even by construction, so the shift is an exact integer halving
+        pipes = F.length(c) - F.length(
+            F.replace(F.col(c), F.lit("|"), F.lit(""))
         )
+        return F.shiftright(pipes.cast("long"), 1)
 
     tot = enc.agg(
         *[

@@ -405,11 +405,17 @@ _EVAL_SHINGLES_SQL = f"list_distinct({_SHINGLES})"
 
 def _pair_eval_oracle(pairs_sql: str) -> str:
     """Precision/recall oracle over any emitted-pairs SQL — shared by
-    q_minhash_eval and q_simhash_eval so the verification algebra
-    (exact-Jaccard cross-multiply, planted truth set) stays single-
-    source."""
+    q_minhash_eval, q_simhash_eval and q_winnow_eval so the verification
+    algebra (exact-Jaccard cross-multiply, planted truth set) stays
+    single-source. Mirrors _pair_eval's canonicalize-and-distinct of the
+    emitted pairs so the harness is robust to any detector's output
+    convention."""
     return f"""
-WITH pairs AS ({pairs_sql}),
+WITH pairs0 AS ({pairs_sql}),
+pairs AS (
+  SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+  FROM pairs0
+),
 {_CORPUS_SQL.strip()},
 wsh AS (
   SELECT doc_id, {_EVAL_SHINGLES_SQL} AS sh
@@ -469,7 +475,16 @@ def _pair_eval(
     signature-bounded pair list, never all-pairs) and measure recall
     against the planted ground-truth relations whose true Jaccard clears
     0.5. The is-true test is an integer cross-multiply
-    (2*|intersect| >= |union|), so every count is exact."""
+    (2*|intersect| >= |union|), so every count is exact.
+
+    The harness does not trust the detector's output convention: emitted
+    pairs are canonicalized (least/greatest) and deduplicated here, so a
+    detector emitting reversed or repeated pairs prices the same as one
+    emitting ordered-distinct pairs (mirrored in _pair_eval_oracle)."""
+    emitted = emitted.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).dropDuplicates(["id_a", "id_b"])
     sh = corpus.select(
         "doc_id",
         F.array_distinct(T.word_shingles("text", 3)).alias("sh"),

@@ -93,9 +93,27 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if fmt == "csv":
             w = w.options(**_CSV_OPTS)
         if fmt == "xml":
-            # Spark 4 built-in XML needs an element name per row; note
-            # XML 1.0 cannot carry control chars (\x0B etc.) — fine for
-            # text corpora, another reason parquet is the landing format
+            # Spark 4 built-in XML needs an element name per row. XML 1.0
+            # cannot carry control chars, and an empty string reads back
+            # from an empty element as null — so the round-trip claim has
+            # a genuine precondition. Assert it (fail loudly, bounded
+            # limit(1) scan) instead of letting content_sum silently
+            # diverge on a corpus the fixture doesn't represent.
+            n_bad = (
+                d.filter(
+                    F.col("text").isNull()
+                    | (F.length("text") == 0)
+                    | F.col("text").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+                )
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    "q_format_roundtrip: XML 1.0 cannot represent "
+                    "empty/null or control-char documents in this corpus; "
+                    "land such text in parquet/ORC instead"
+                )
             w = w.option("rowTag", "doc")
         w.save(path)
         r = spark.read.format(fmt)

@@ -31,6 +31,7 @@ written.
 
 from __future__ import annotations
 
+import logging
 import os
 import pickle
 from dataclasses import dataclass
@@ -132,7 +133,9 @@ class RefPickleStreamReader(SimpleDataSourceStreamReader):
     ``Trigger.AvailableNow`` issues exactly ONE read() for a simple
     reader — a capped AvailableNow run would silently stop after n
     shards. Cap for continuous tailing; leave uncapped for one-shot
-    drains of bounded backlogs.
+    drains of bounded backlogs. A capped ``read()`` that leaves backlog
+    behind logs a runtime warning, so a capped-AvailableNow misuse is
+    detectable rather than silently partial.
     """
 
     def __init__(self, options):
@@ -173,7 +176,18 @@ class RefPickleStreamReader(SimpleDataSourceStreamReader):
         new = [n for n in self._files() if n > start["upto"]]
         if not new:
             return iter(()), start
-        if self._max_shards is not None:
+        if self._max_shards is not None and len(new) > self._max_shards:
+            # surfaced, not silent: a capped read under Trigger.AvailableNow
+            # would otherwise stop after this batch with backlog remaining
+            # (AvailableNow issues exactly one read() for a simple reader)
+            logging.getLogger(__name__).warning(
+                "refpickle stream: maxShardsPerBatch=%d leaves %d shard(s) "
+                "unconsumed this batch; under Trigger.AvailableNow the "
+                "remainder will NOT be drained — use a processingTime "
+                "trigger for capped tailing",
+                self._max_shards,
+                len(new) - self._max_shards,
+            )
             new = new[: self._max_shards]
         return self._rows(new), {"upto": new[-1]}
 

@@ -39,9 +39,9 @@ ALLOW: dict[str, dict[str, str]] = {
     # (threshold, grid, codebook, global totals) — bounded by construction
     "q_ann_ivf": {"nested_loop": "1-row query parameter cross join"},
     "q_semdedup": {
-        "nested_loop": "broadcast 8-centroid assignment cross join "
-        "(ivf_assign); the within-cluster pair stage is a SortMergeJoin "
-        "on the cluster key"
+        "nested_loop": "broadcast centroid-assignment cross join "
+        "(ivf_assign, _SEMDEDUP_NCENT=32 centroids); the within-cluster "
+        "pair stage is a SortMergeJoin on the cluster key"
     },
     "q_ann_ivf_kmeans": {"nested_loop": "1-row query parameter"},
     "q_rrf_fusion": {
