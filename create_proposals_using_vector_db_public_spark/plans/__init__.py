@@ -36,67 +36,90 @@ from . import (  # noqa: F401,E402
     governance_queries,  # round-2 batch 8: k-anonymity ladder, re-ident risk
 )
 
-# Rebuild the registries in an explicit priority order: queries that still
-# need a fresh driver-green CORRECTNESS row (never checked in round 1, fixed
-# this round, or brand new) come first, so a bounded prefix run always
-# covers them. Previously driver-confirmed queries fill the tail.
+# Rebuild the registries in an explicit priority order. The driver checks a
+# bounded 50-entry registry PREFIX per round; cumulative driver-green after
+# rounds 1+2 is 98/205 distinct queries (48 r1 + 50 r2). Round 3 rotates the
+# window onto queries that have NEVER had a driver row — slots 1-45 — plus
+# 5 sentinel re-checks of the flagships (slots 46-50) to catch regressions
+# introduced this round. Everything below the boundary keeps local exact
+# parity (tools/parity.py --exact) as its evidence.
 _PRIORITY = [
-    # ---- first 50: what a round-1-sized driver window must cover ----
-    # flagship vector family — never reached by the round-1 window
-    "q_knn", "q_knn_cosine", "q_rank_l2", "q_vec_math", "q_knn_join", "q_ann_ivf",
-    # fixed this round (hash-exact corr; approx-distinct now oracled)
+    # ---- round-3 window, slots 1-45: first-time driver evidence ----
+    # TPC-H decision-support sweep (Q3/Q6/Q7/Q9/Q10/Q11/Q13/Q16/Q19/Q21
+    # shapes) — the classic OLAP core, local-exact only until now
+    "q_ship_priority", "q_forecast_revenue", "q_nation_volume",
+    "q_product_profit", "q_returned_items", "q_important_parts",
+    "q_order_dist", "q_supplier_cnt", "q_disjunct_filter",
+    "q_waiting_supplier",
+    # TPC-H OLAP shapes (Q15/Q18/Q2/Q22/Q14/Q12/Q8)
+    "q_top_revenue", "q_large_orders", "q_min_cost_supplier",
+    "q_cust_no_orders", "q_promo_share", "q_priority_mix", "q_market_share",
+    # profiling / maintenance (lakehouse ops)
+    "q_profile", "q_anomaly", "q_cdc_apply", "q_zonemap_prune",
+    "q_compaction",
+    # graph family over the co-order graph
+    "q_graph_degree", "q_pagerank", "q_triangle_count",
+    # correlated-subquery decorrelation trio (Q4/Q17/Q20 shapes)
+    "q_exists_corr", "q_avg_subquery", "q_nested_in",
+    # multiway star join (Q5 shape)
+    "q_join_multiway",
+    # reference-format source/sink + its streaming tail
+    "q_pickle_roundtrip", "q_pickle_stream",
+    # detector pricing harness (canonicalization hardened this round)
+    "q_minhash_eval", "q_simhash_eval", "q_winnow_eval",
+    # incremental crawl-vs-index dedup decision table
+    "q_dedup_incremental",
+    # two-stage ANN serving pattern (coarse -> exact rerank)
+    "q_ann_rerank",
+    # retrieval serving tail: greedy MMR, PRF expansion, RAG capstone
+    "q_mmr_rerank", "q_query_expansion", "q_e2e_rag",
+    # governance/curation reporting
+    "q_dataset_card",
+    # changed or upgraded this round (BPE adjacent-merge fix; CMS/HLL now
+    # carry exact-vs-estimate error columns) — driver check most valuable
+    "q_bpe_encode", "q_cms_heavy", "q_hll_merge",
+    # SQL-interface surface + consolidated window-function suite
+    "q_sql_interface", "q_window_suite",
+    # ---- slots 46-50: sentinel re-checks of driver-green flagships ----
+    "q_knn", "q_agg_basic", "q_e2e_corpus", "q_semdedup", "q_rrf_fusion",
+    # ---- window boundary: everything below still registers + is parity-
+    # checked locally (tools/parity.py --exact), but yields its driver slot
+    # to the entries above when the harness caps at 50. Driver history:
+    # r1+r2 green rows cover the vector/text/temporal/streaming/udf/dedup/
+    # relational/ingest/pipeline/curation flagships listed here ----
+    "q_knn_cosine", "q_rank_l2", "q_vec_math", "q_knn_join", "q_ann_ivf",
     "q_corr_stats", "q_approx_distinct",
-    # round-2 flagship additions: e2e composition, PQ, corpus assembly
-    "q_e2e_corpus", "q_ann_pq", "q_decontaminate", "q_pack_sequences",
+    "q_ann_pq", "q_decontaminate", "q_pack_sequences",
     "q_bloom_join", "q_incremental_agg", "q_gap_fill", "q_full_outer",
     "q_funnel", "q_retention", "q_scd2", "q_fuzzy_match",
-    # round-2 batch 1 — no prior driver row
-    "q_pii_scrub", "q_repetition_ratio", "q_boilerplate_lines", "q_dup_clusters",
+    "q_pii_scrub", "q_repetition_ratio", "q_boilerplate_lines",
+    "q_dup_clusters",
     "q_winnow_dups", "q_scalar_subquery", "q_ann_lsh", "q_lag_lead",
     "q_stream_stateful", "q_ann_ivf_kmeans",
-    # round-2 continuation — no prior driver row
     "q_ann_recall", "q_stream_join",
     "q_udf_trimmed_mean", "q_udtf_tokens",
-    # round-2 batch 8 flagships — corpus curation, hybrid retrieval,
-    # governance, CEP, stream-stream join
-    "q_semdedup", "q_rrf_fusion", "q_gopher_quality", "q_line_dedup",
+    "q_gopher_quality", "q_line_dedup",
     "q_k_anonymity", "q_event_pattern", "q_stream_stream_join",
-    # text family (reference-parity ops R21-R25) — never reached
     "q_stub_embed", "q_stub_knn", "q_kw_fallback", "q_kw_stopfilter",
     "q_array_ops", "q_prompt_template",
-    # temporal / streaming — never reached
     "q_asof_join", "q_range_join", "q_stream_tumbling",
-    # ---- window boundary: everything below still registers + is parity-
-    # checked locally (tools/parity.py), but yields its driver slot to the
-    # entries above when the harness caps at 50 ----
-    # pq_recall/ivfpq demoted: the 50-slot window already carries 5 ANN
-    # entries; the recall/ivfpq variants are the least-distinct two
     "q_pq_recall", "q_ann_ivfpq",
     "q_stream_sliding", "q_stream_session", "q_unpivot", "q_cosine_topk",
     "q_partitioned_sink", "q_chunk_fixed",
-    # round-2 batch 5: decorrelation suite, interval overlap, time rollup,
-    # CMS sketch, domain mixing
-    # round-2 batch 6: classic OLAP shapes (Q15/Q18/Q2/Q22/Q14/Q12/Q8)
-    "q_top_revenue", "q_large_orders", "q_min_cost_supplier",
-    "q_cust_no_orders", "q_promo_share", "q_priority_mix", "q_market_share",
     "q_collocations",
-    "q_bpe_merges", "q_dq_audit", "q_sql_interface", "q_yoy_growth",
+    "q_bpe_merges", "q_dq_audit", "q_yoy_growth",
     "q_trigram_typicality", "q_sq_recall", "q_share_of_parent",
-    # gained a real oracle this round (counts are arrival-order independent)
     "q_stream_dedup",
-    "q_exists_corr", "q_avg_subquery", "q_nested_in", "q_interval_overlap",
-    "q_time_rollup", "q_cms_heavy", "q_domain_mix", "q_multimodal_meta",
+    "q_interval_overlap",
+    "q_time_rollup", "q_domain_mix", "q_multimodal_meta",
     "q_ols", "q_contingency", "q_multimodal_frames", "q_skyline",
-    "q_hll_merge",
-    # round-2 batch 4 (registered after the 50-entry window; parity-checked
-    # locally): profiling, maintenance, Q5 join, EWMA
-    "q_profile", "q_anomaly", "q_vocab_coverage", "q_inverted_search",
-    "q_cdc_apply", "q_zonemap_prune", "q_compaction",
-    "q_join_multiway", "q_ewma_smooth",
-    "q_graph_degree", "q_pagerank", "q_triangle_count",
-    "q_schema_evolution", "q_table_diff", "q_pickle_roundtrip",
-    "q_udf_groupnorm", "q_transitions", "q_ivm_join", "q_window_suite",
-    "q_split_sections", "q_format_roundtrip", "q_quality_score", "q_lang_id", "q_comma_parse", "q_zorder_layout", "q_salted_join", "q_heavy_hitters", "q_centroid_label",
+    "q_vocab_coverage", "q_inverted_search",
+    "q_ewma_smooth",
+    "q_schema_evolution", "q_table_diff",
+    "q_udf_groupnorm", "q_transitions", "q_ivm_join",
+    "q_split_sections", "q_format_roundtrip", "q_quality_score",
+    "q_lang_id", "q_comma_parse", "q_zorder_layout", "q_salted_join",
+    "q_heavy_hitters", "q_centroid_label",
     "q_rare_terms", "q_histogram", "q_approx_percentile", "q_grouping_sets",
     # q_token_count: near-duplicate of q_quality_score (VERDICT r1 called
     # it the foldable low-value entry)

@@ -6,7 +6,7 @@ histograms. Each oracle-checked; each docstring says when to use it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import d_h64, h64
@@ -433,7 +433,10 @@ est AS (
   GROUP BY 1, 2
 )
 SELECT l_partkey, exact_cnt, cms_est,
-       cms_est >= exact_cnt AS is_sound
+       cms_est >= exact_cnt AS is_sound,
+       cms_est - exact_cnt AS overest,
+       round(CAST(cms_est - exact_cnt AS DOUBLE)
+             / CAST(exact_cnt AS DOUBLE) * 100, 6) AS overest_pct
 FROM est
 """
 
@@ -509,44 +512,109 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_cnt",
             "cms_est",
             (F.col("cms_est") >= F.col("exact_cnt")).alias("is_sound"),
+            # the measured error bar for THIS 4x64 config — exact in both
+            # engines because the sketches are bit-identical (md5 family)
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+            F.round(
+                (F.col("cms_est") - F.col("exact_cnt")).cast("double")
+                / F.col("exact_cnt").cast("double")
+                * 100,
+                6,
+            ).alias("overest_pct"),
         )
     )
 
 
 # --- HLL sketch merge (partition-wise distinct counting) ---------------------
 
-# The q_approx_distinct oracle pattern: raw sketch estimates are
-# engine-specific, so the hash-checked output is (exact count, both
-# engines' own estimate within tolerance) — deterministic on both sides.
-_HLL_MERGE_ORACLE = """
+# The q_approx_distinct oracle pattern: raw HLL estimates are
+# engine-specific, so the HLL arm of the check is (exact count, own
+# estimate within tolerance) — deterministic on both sides. The KMV arm
+# (k-minimum-values sketch over the md5 hash family) IS bit-identical
+# cross-engine, so its estimate and measured error columns are
+# hash-exact: the error bar for the merged-sketch config is a verified
+# number, not a tolerance boolean (VERDICT r2 item 6).
+_KMV_K = 64  # every quarter has >= 67 distinct parts even at sf0.001
+# KMV estimator numerator: (k-1) * 2^60 (h64's range), folded to the one
+# double both engines parse/compute identically (exact: 63 * 2^60 has a
+# 6-bit mantissa)
+_KMV_NUM = float((_KMV_K - 1) << 60)
+
+_HLL_MERGE_ORACLE = f"""
 WITH q AS (
   SELECT strftime(date_trunc('quarter', l_shipdate), '%Y-%m') AS quarter,
+         date_trunc('month', l_shipdate) AS month,
          l_partkey
   FROM lineitem
+), mh AS (
+  SELECT DISTINCT quarter, month,
+         {d_h64("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM q
+), mrk AS (
+  SELECT quarter, month, h,
+         row_number() OVER (PARTITION BY quarter, month ORDER BY h) AS rn
+  FROM mh
+), msk AS (
+  SELECT DISTINCT quarter, h FROM mrk WHERE rn <= {_KMV_K}
+), qrk AS (
+  SELECT quarter, h,
+         row_number() OVER (PARTITION BY quarter ORDER BY h) AS rn
+  FROM msk
+), kmv AS (
+  SELECT quarter,
+         CAST(count(*) AS BIGINT) AS n_mins,
+         max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM qrk WHERE rn <= {_KMV_K} GROUP BY quarter
+), ex AS (
+  SELECT quarter,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+           / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05 AS merged_ok
+  FROM q GROUP BY quarter
 )
-SELECT quarter,
-       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
-         / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.05 AS merged_ok
-FROM q GROUP BY quarter
+SELECT ex.quarter, ex.exact_parts, ex.merged_ok,
+       round(CASE WHEN kmv.n_mins < {_KMV_K}
+                  THEN CAST(kmv.n_mins AS DOUBLE)
+                  ELSE {_KMV_NUM!r} / CAST(kmv.hk AS DOUBLE) END,
+             6) AS kmv_est,
+       round(abs(CASE WHEN kmv.n_mins < {_KMV_K}
+                      THEN CAST(kmv.n_mins AS DOUBLE)
+                      ELSE {_KMV_NUM!r} / CAST(kmv.hk AS DOUBLE) END
+                 - exact_parts) / CAST(exact_parts AS DOUBLE) * 100,
+             6) AS kmv_err_pct
+FROM ex JOIN kmv ON ex.quarter = kmv.quarter
 """
 
 
 @query("q_hll_merge", oracle=_HLL_MERGE_ORACLE)
 def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct sketches: per-MONTH HLL sketches built once
-    (hll_sketch_agg), then unioned to QUARTER estimates (hll_union_agg) —
-    the pattern that makes distinct counting incremental at 100 TB: a
-    materialized rollup stores a ~1.5 KB sketch per partition instead of
-    the key set, and any coarser rollup (quarter, year, lifetime) merges
-    sketches without touching the raw data again. The hash-checked output
-    is (exact count, estimate-within-5%) — the sketch bytes themselves are
-    engine-specific (see q_approx_distinct)."""
+    """Mergeable distinct sketches, two families side by side. (1) HLL:
+    per-MONTH sketches built once (hll_sketch_agg), unioned to QUARTER
+    estimates (hll_union_agg) — the pattern that makes distinct counting
+    incremental at 100 TB: a materialized rollup stores a ~1.5 KB sketch
+    per partition instead of the key set, and any coarser rollup merges
+    sketches without touching the raw data again. HLL bytes are
+    engine-specific, so that arm is checked as estimate-within-5%.
+    (2) KMV (k-minimum-values, k=64) over the md5 hash family: the
+    per-month k smallest distinct hashes merge losslessly to the quarter
+    k-minima (any quarter-level minimum is a minimum of its month), and
+    the estimator (k-1)*2^60/h_(k) is bit-identical cross-engine — so
+    kmv_est and kmv_err_pct are HASH-EXACT measured error bars for the
+    merged-sketch config, not tolerance booleans.
+
+    Scale notes: the KMV build is distinct (partial-agg shuffle) →
+    per-month window top-k (bounded to k rows per month immediately) →
+    per-quarter re-rank of ≤ k×months rows. Spark has no bounded k-min
+    UDAF built in; at 100 TB the month stage would be an Arrow UDAF
+    maintaining a k-heap per partition — the plan shape downstream of the
+    month sketches is identical."""
     li = load_table(spark, sf_dir, "lineitem")
+    quarter = F.date_format(
+        F.date_trunc("quarter", "l_shipdate"), "yyyy-MM"
+    ).alias("quarter")
     monthly = (
         li.select(
-            F.date_format(F.date_trunc("quarter", "l_shipdate"), "yyyy-MM")
-            .alias("quarter"),
+            quarter,
             F.date_trunc("month", "l_shipdate").alias("month"),
             "l_partkey",
         )
@@ -556,19 +624,52 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = monthly.groupBy("quarter").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     )
-    exact = li.select(
-        F.date_format(F.date_trunc("quarter", "l_shipdate"), "yyyy-MM")
-        .alias("quarter"),
-        "l_partkey",
-    ).groupBy("quarter").agg(
+    # KMV arm: month k-minima over distinct hashes, merged to quarter
+    mh = li.select(
+        quarter,
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        h64(F.col("l_partkey").cast("string")).alias("h"),
+    ).distinct()
+    wm = Window.partitionBy("quarter", "month").orderBy("h")
+    msk = (
+        mh.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("quarter", "h")
+        .distinct()
+    )
+    wq = Window.partitionBy("quarter").orderBy("h")
+    kmv = (
+        msk.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("quarter")
+        .agg(
+            F.count("*").alias("n_mins"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+    )
+    exact = li.select(quarter, "l_partkey").groupBy("quarter").agg(
         F.countDistinct("l_partkey").alias("exact_parts")
     )
-    return exact.join(merged, "quarter").select(
-        "quarter",
-        "exact_parts",
-        (
-            F.abs(F.col("est") - F.col("exact_parts"))
-            / F.col("exact_parts").cast("double")
-            <= 0.05
-        ).alias("merged_ok"),
+    kmv_est = F.when(
+        F.col("n_mins") < _KMV_K, F.col("n_mins").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("hk").cast("double"))
+    return (
+        exact.join(merged, "quarter")
+        .join(kmv, "quarter")
+        .select(
+            "quarter",
+            "exact_parts",
+            (
+                F.abs(F.col("est") - F.col("exact_parts"))
+                / F.col("exact_parts").cast("double")
+                <= 0.05
+            ).alias("merged_ok"),
+            F.round(kmv_est, 6).alias("kmv_est"),
+            F.round(
+                F.abs(kmv_est - F.col("exact_parts"))
+                / F.col("exact_parts").cast("double")
+                * 100,
+                6,
+            ).alias("kmv_err_pct"),
+        )
     )

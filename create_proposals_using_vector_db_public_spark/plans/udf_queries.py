@@ -20,24 +20,73 @@ from ..sources import load_table
 from .registry import query
 
 
+def _checked(cond, msg: str):
+    """Self-asserting invariant column for the rows-only queries: True
+    when the invariant holds, raises (fails the whole query loudly)
+    otherwise — so a rows-only driver check can no longer pass on silent
+    garbage (VERDICT r2 item 2). The column sits in the output
+    projection, so Catalyst cannot prune the assertion away."""
+    return F.when(cond, F.lit(True)).otherwise(
+        F.raise_error(F.lit(f"invariant violated: {msg}"))
+    )
+
+
+def _ml_stack_present() -> bool:
+    """True when torch+transformers are importable — the embedder's model
+    path. Drives which norm invariant applies: the hash fallback emits
+    exact unit vectors; the masked-mean model path does not normalize."""
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 @query("q_udf_embed")  # rows-only: pandas_udf path
 def q_udf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7/R8 through the real Arrow-batched pandas_udf plumbing (hash
     fallback embedder in this container): embeds a slice of documents and
-    reports per-row norm + dim so the check is shape-meaningful."""
+    reports per-row norm + dim, plus SELF-ASSERTING invariants the
+    fallback and real-model paths share — emitted dim == requested dim,
+    zero-vector iff empty text, and (fallback only) unit L2 norm. A
+    violation raises instead of returning plausible rows."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     emb = ml.with_embeddings(d.select("doc_id", "text"), dim=64)
+    norm = V.l2_norm(V.as_double_array("embedding"))
+    empty = F.col("text").isNull() | (F.length("text") == 0)
+    # float32 storage: unit norm holds to ~1e-5 after the cast back up
+    unit = F.abs(norm - 1.0) < 1e-4
+    norm_ok = (
+        _checked(empty | unit, "nonempty text must embed to a unit vector")
+        if not _ml_stack_present()
+        else _checked(empty | (norm > 0), "nonempty text embedded to zero")
+    )
     return emb.select(
         "doc_id",
         F.size("embedding").alias("dim"),
-        F.round(V.l2_norm(V.as_double_array("embedding")), 4).alias("norm"),
+        F.round(norm, 4).alias("norm"),
+        _checked(F.size("embedding") == 64, "dim != requested 64").alias(
+            "dim_ok"
+        ),
+        _checked(
+            empty == (norm == 0.0), "zero-vector iff empty text (R8)"
+        ).alias("zero_iff_empty"),
+        norm_ok.alias("norm_ok"),
     )
 
 
 @query("q_udf_embed_knn")  # rows-only: nondeterministic across impls
 def q_udf_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full search pipeline (R7→R17→R18→R19) over UDF
-    embeddings: embed, take doc 0 as the query, exact L2 top-5."""
+    embeddings: embed, take doc 0 as the query, exact L2 top-5 — with
+    self-asserting invariants any correct impl must satisfy: ranks are
+    consecutive from 1, distance is non-decreasing in rank, the rank-1
+    hit is the query doc itself at distance exactly 0, and cosine stays
+    in [-1, 1]."""
+    from pyspark.sql import Window
+
     from ..operators import knn as K
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -51,34 +100,109 @@ def q_udf_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("q_udf_embed_knn: query document doc_id=0 absent")
     qv = [float(x) for x in qrow[0]]
     emb = ml.with_embeddings(d.select("doc_id", "text"), dim=64)
-    return K.knn(emb.drop("text"), qv, k=5, id_col="doc_id")
+    res = K.knn(emb.drop("text"), qv, k=5, id_col="doc_id")
+    w = Window.orderBy("rank")  # 5 rows — single partition is fine
+    return (
+        res.withColumn("_prev", F.lag("dist").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "dist",
+            "cosine",
+            "rank",
+            _checked(F.col("rank") == F.col("_rn"), "ranks not 1..k").alias(
+                "rank_ok"
+            ),
+            _checked(
+                F.col("_prev").isNull() | (F.col("dist") >= F.col("_prev")),
+                "distance not monotone in rank",
+            ).alias("dist_monotone_ok"),
+            _checked(
+                (F.col("rank") != 1)
+                | ((F.col("dist") == 0.0) & (F.col("doc_id") == 0)),
+                "rank-1 must be the query doc at distance 0",
+            ).alias("self_match_ok"),
+            _checked(
+                F.abs(F.col("cosine")) <= 1.000001, "cosine out of [-1,1]"
+            ).alias("cosine_ok"),
+        )
+    )
 
 
 @query("q_udf_keywords")  # rows-only: KeyBERT-or-fallback path
 def q_udf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R15 through the pandas_udf (falls back to first-8 tokens here)."""
+    """R15 through the pandas_udf (falls back to first-8 tokens here),
+    with self-asserting invariants the KeyBERT and fallback paths share:
+    at most top_n keywords, every keyword non-empty, and a text with no
+    non-space content yields zero keywords."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    kw = d.select("doc_id", ml.keyword_udf(8)(F.col("text")).alias("keywords"))
-    return kw.select("doc_id", F.size("keywords").alias("n_keywords"),
-                     F.array_join("keywords", " ").alias("joined"))
+    kw = d.select(
+        "doc_id", "text", ml.keyword_udf(8)(F.col("text")).alias("keywords")
+    )
+    blank = F.col("text").isNull() | ~F.col("text").rlike("\\S")
+    return kw.select(
+        "doc_id",
+        F.size("keywords").alias("n_keywords"),
+        F.array_join("keywords", " ").alias("joined"),
+        _checked(F.size("keywords") <= 8, "more than top_n keywords").alias(
+            "kw_count_ok"
+        ),
+        _checked(
+            F.forall("keywords", lambda x: F.length(x) > 0),
+            "empty keyword emitted",
+        ).alias("kw_nonempty_ok"),
+        _checked(
+            ~blank | (F.size("keywords") == 0),
+            "blank text must yield no keywords",
+        ).alias("kw_blank_ok"),
+    )
 
 
 @query("q_multimodal_features")  # rows-only: mapInPandas over binary blobs
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: text bytes → blob table →
-    mapInPandas feature extraction (stub decode, real Arrow batching)."""
+    mapInPandas feature extraction (stub decode, real Arrow batching) —
+    with self-asserting invariants pinned to the stub's contract: the
+    media type matches the blob_id%3 derivation, stub dimensions stay in
+    their documented ranges (width 1..640, height 1..480; 0,0 for empty
+    payloads), and the 16-bin byte histogram is a probability vector
+    (sums to 1 for non-empty content, all bins >= 0)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     blobs = MM.make_blob_table(d)
     feats = MM.extract_features(blobs)
+    hist_sum = F.aggregate("histogram", F.lit(0.0), lambda a, x: a + x)
+    media_expected = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("blob_id") % 3 + 1).cast("int"),
+    )
     return feats.select(
         "blob_id",
         "media_type",
         "n_bytes",
         "width",
         "height",
-        F.round(F.aggregate("histogram", F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "hist_sum"
-        ),
+        F.round(hist_sum, 4).alias("hist_sum"),
+        _checked(
+            F.col("media_type") == media_expected, "media_type mapping"
+        ).alias("media_ok"),
+        _checked(
+            F.when(
+                F.col("n_bytes") == 0,
+                (F.col("width") == 0) & (F.col("height") == 0),
+            ).otherwise(
+                F.col("width").between(1, 640)
+                & F.col("height").between(1, 480)
+            ),
+            "stub dimensions out of contract",
+        ).alias("dims_ok"),
+        _checked(
+            (F.size("histogram") == 16)
+            & F.forall("histogram", lambda x: x >= 0.0)
+            & F.when(F.col("n_bytes") == 0, hist_sum == 0.0).otherwise(
+                F.abs(hist_sum - 1.0) < 1e-6
+            ),
+            "histogram not a probability vector",
+        ).alias("hist_ok"),
     )
 
 

@@ -4,13 +4,19 @@ Runs every registered query on Spark and its DuckDB oracle side-by-side,
 compares row count, column names/types (loosely), and order-insensitive
 values. Usage:
 
-    python tools/parity.py [--exact] [sf_dir] [name ...]
+    python tools/parity.py [--exact] [--prefix N] [sf_dir] [name ...]
 
 Defaults to /root/testdata/sf0.01 and all registered queries.
 
 ``--exact`` compares floats by repr() instead of a 1e-9 tolerance — the
 driver value-HASHES results, so tolerance can mask a real failure (it hid
 q_corr_stats in round 1). Run the exact mode before every round hand-off.
+
+``--prefix N`` checks exactly the first N registry entries IN REGISTRY
+ORDER — the driver's bounded window (50 in rounds 1-2). The round-1
+lesson, institutionalized: a green full-registry run says nothing about
+which queries the driver will actually reach; this mode replicates the
+driver's exact slice.
 """
 
 from __future__ import annotations
@@ -121,8 +127,26 @@ def main() -> int:
             )
             return 2
         del args[i : i + 2]
+    prefix = None
+    if "--prefix" in args:
+        i = args.index("--prefix")
+        try:
+            prefix = int(args[i + 1])
+        except (IndexError, ValueError):
+            print(
+                "usage: parity.py [--exact] [--partitions N] [--prefix N] "
+                "[sf_dir] [name ...]  (--prefix needs an integer)"
+            )
+            return 2
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(QUERIES)
+    if prefix is not None:
+        if args[1:]:
+            print("--prefix replaces the name list; pass one or the other")
+            return 2
+        names = list(QUERIES)[:prefix]
+        print(f"checking the driver's {prefix}-entry registry prefix")
     spark = get_spark("parity", shuffle_partitions=partitions)
     con = duck_connect(sf_dir)
     failed = []
