@@ -71,6 +71,15 @@ HEADLINE = [
     "q_ann_rerank",       # SQ8 coarse scan + exact re-rank
     "q_dedup_incremental",  # crawl-vs-index MinHash classification
     "q_minhash_eval",     # LSH precision/recall pricing
+    # round-3 additions: the expensive serving/retrieval + graph tail
+    # (VERDICT r2 item 3 — a regression here was invisible to BENCH_r02)
+    "q_e2e_rag",          # retrieve→rerank→assemble capstone
+    "q_mmr_rerank",       # greedy MMR unroll (k sequential jobs)
+    "q_query_expansion",  # PRF double-BM25 pass
+    "q_graph_degree",     # co-order edge build + degree dist
+    "q_triangle_count",   # oriented-wedge closure join
+    "q_reident_risk",     # quasi-identifier group-size risk
+    "q_dataset_card",     # corpus-wide multi-stat report
 ]
 
 

@@ -72,6 +72,54 @@ def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
     return texts.map(one)
 
 
+def _model_embed_batch(
+    bundle, texts: pd.Series, dim: int, max_length: int
+) -> pd.Series:
+    """Model-path batch embedding: ONE tokenizer call + ONE forward pass
+    per Arrow batch — the whole point of the pandas_udf over the
+    reference's row-at-a-time loop (app.py:101; SURVEY §4: batching is
+    the single biggest speedup). Empty texts get zero vectors (R8)
+    without entering the model. Module-level (not a UDF closure) so the
+    masked-mean math is unit-testable with a fake (tok, model) bundle —
+    the branch stays covered even while the container lacks the real
+    stack (VERDICT r2 item 4)."""
+    import torch
+
+    tok, model = bundle
+    vals = ["" if t is None else str(t) for t in texts]
+    nonempty = [i for i, t in enumerate(vals) if t]
+    out: list[list[float]] = [[0.0] * dim] * len(vals)
+    if nonempty:
+        with torch.no_grad():
+            enc = tok(
+                [vals[i] for i in nonempty],
+                return_tensors="pt",
+                truncation=True,
+                padding=True,
+                max_length=max_length,
+            )
+            hidden = model(**enc).last_hidden_state
+            # attention-masked mean pool: padded positions must not
+            # dilute the mean (a plain .mean(dim=1) would — padding is
+            # per-batch here, unlike the reference's single-row calls)
+            mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+            pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1)
+            vecs = pooled.float().cpu().numpy()
+        if vecs.shape[1] != dim:
+            # fail loudly: silently mixing model-width vectors with
+            # dim-width zero vectors would poison every downstream
+            # zip_with distance (NULLs) — the caller asked for `dim`
+            raise ValueError(
+                f"embedder dim mismatch: requested {dim}, model "
+                f"produces {vecs.shape[1]} — pass dim="
+                f"{vecs.shape[1]} (or none) when the real model is "
+                "available"
+            )
+        for row, i in enumerate(nonempty):
+            out[i] = [float(x) for x in vecs[row]]
+    return pd.Series(out)
+
+
 def embedder_udf(dim: int = EMBED_DIM, max_length: int = 512):
     """pandas_udf returning array<float> embeddings. Model path when the ML
     stack exists; hash fallback otherwise. Always zero-vector for empty
@@ -82,45 +130,7 @@ def embedder_udf(dim: int = EMBED_DIM, max_length: int = 512):
         bundle = _load_model()
         if bundle is None:
             return _hash_embed_batch(texts, dim)
-        import torch
-
-        tok, model = bundle
-        # One tokenizer call + ONE forward pass per Arrow batch — the whole
-        # point of the pandas_udf over the reference's row-at-a-time loop
-        # (app.py:101; SURVEY §4: batching is the single biggest speedup).
-        # Empty texts get zero vectors (R8) without entering the model.
-        vals = ["" if t is None else str(t) for t in texts]
-        nonempty = [i for i, t in enumerate(vals) if t]
-        out: list[list[float]] = [[0.0] * dim] * len(vals)
-        if nonempty:
-            with torch.no_grad():
-                enc = tok(
-                    [vals[i] for i in nonempty],
-                    return_tensors="pt",
-                    truncation=True,
-                    padding=True,
-                    max_length=max_length,
-                )
-                hidden = model(**enc).last_hidden_state
-                # attention-masked mean pool: padded positions must not
-                # dilute the mean (a plain .mean(dim=1) would — padding is
-                # per-batch here, unlike the reference's single-row calls)
-                mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
-                pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1)
-                vecs = pooled.float().cpu().numpy()
-            if vecs.shape[1] != dim:
-                # fail loudly: silently mixing model-width vectors with
-                # dim-width zero vectors would poison every downstream
-                # zip_with distance (NULLs) — the caller asked for `dim`
-                raise ValueError(
-                    f"embedder dim mismatch: requested {dim}, model "
-                    f"produces {vecs.shape[1]} — pass dim="
-                    f"{vecs.shape[1]} (or none) when the real model is "
-                    "available"
-                )
-            for row, i in enumerate(nonempty):
-                out[i] = [float(x) for x in vecs[row]]
-        return pd.Series(out)
+        return _model_embed_batch(bundle, texts, dim, max_length)
 
     return embed
 

@@ -80,13 +80,16 @@ _PRIORITY = [
     "q_bpe_encode", "q_cms_heavy", "q_hll_merge",
     # SQL-interface surface + consolidated window-function suite
     "q_sql_interface", "q_window_suite",
-    # ---- slots 46-50: sentinel re-checks of driver-green flagships ----
-    "q_knn", "q_agg_basic", "q_e2e_corpus", "q_semdedup", "q_rrf_fusion",
+    # new this round: as-of-version snapshot read over the versioned store
+    "q_snapshot_read",
+    # ---- slots 47-50: sentinel re-checks of driver-green flagships ----
+    "q_knn", "q_agg_basic", "q_semdedup", "q_rrf_fusion",
     # ---- window boundary: everything below still registers + is parity-
     # checked locally (tools/parity.py --exact), but yields its driver slot
     # to the entries above when the harness caps at 50. Driver history:
     # r1+r2 green rows cover the vector/text/temporal/streaming/udf/dedup/
     # relational/ingest/pipeline/curation flagships listed here ----
+    "q_e2e_corpus",
     "q_knn_cosine", "q_rank_l2", "q_vec_math", "q_knn_join", "q_ann_ivf",
     "q_corr_stats", "q_approx_distinct",
     "q_ann_pq", "q_decontaminate", "q_pack_sequences",

@@ -365,3 +365,89 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("p").cast("double"), 6).alias("total_price"),
     )
+
+
+# --- snapshot time travel (VERSION AS OF read) -------------------------------
+#
+# q_table_diff diffs two table generations rebuilt from source; this one
+# reads them back from the versioned parquet store itself (the minimal
+# commit protocol behind stream_upsert_to_versioned: immutable v{N}
+# snapshot dirs + an atomically-flipped CURRENT pointer): commit v0, then
+# an overlapping upsert as v1, then aggregate each snapshot AS OF its
+# version. The oracle replays the upsert algebra (delete-then-insert on
+# the key) directly over the source table — so the store's write-read
+# cycle, not just the algebra, is value-hash-checked at two versions.
+
+from ..functions import hashing as _H  # noqa: E402
+from ..streaming import ingest_stream as _IS  # noqa: E402
+
+_SNAPSHOT_ORACLE = f"""
+WITH v0 AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 250
+), mods AS (
+  SELECT doc_id, text || ' (rev 2)' AS text, n_chars + 8 AS n_chars
+  FROM documents WHERE doc_id >= 150 AND doc_id < 400
+), v1 AS (
+  SELECT v0.* FROM v0 LEFT JOIN mods USING (doc_id)
+  WHERE mods.doc_id IS NULL
+  UNION ALL SELECT * FROM mods
+)
+SELECT 0 AS version,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({_H.d_h64('text', nchars=12)}) AS BIGINT) AS content_sum
+FROM v0
+UNION ALL
+SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+       CAST(sum({_H.d_h64('text', nchars=12)}) AS BIGINT)
+FROM v1
+"""
+
+
+@query("q_snapshot_read", oracle=_SNAPSHOT_ORACLE)
+def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned store: commit generation 1
+    (doc_id < 250), upsert an overlapping generation 2 (150-399, revised
+    text) as version 1 through the SAME commit path the streaming upsert
+    uses, then read both snapshots back AS OF their version numbers and
+    prove each against an oracle that replays the upsert algebra from
+    source. Completes the maintenance family's "read the table as of
+    version N" story (VERDICT r2 item 8).
+
+    Scale notes: each commit rewrites only the merged table (the anti-
+    join prunes to affected keys under a partitioned layout — see
+    stream_upsert_to_versioned's docstring); an as-of read is a plain
+    parquet scan of an immutable snapshot dir, so time travel costs
+    nothing at read time beyond the pointer lookup. The 48-bit h64
+    content sums keep the BIGINT aggregate exact (~30k rows x 2^48)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    key = F.col("doc_id").cast("string").alias("file_name")
+    gen1 = d.filter(F.col("doc_id") < 250).select(
+        key, "doc_id", "text", "n_chars"
+    )
+    gen2 = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 400)).select(
+        key,
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" (rev 2)")).alias("text"),
+        (F.col("n_chars") + 8).alias("n_chars"),
+    )
+    v0 = _IS.commit_version(gen1, base, file_col="file_name")
+    v1 = _IS.commit_version(gen2, base, file_col="file_name")
+    assert (v0, v1) == (0, 1), "fresh store must commit versions 0, 1"
+    outs = []
+    for v in (0, 1):
+        snap = _IS.read_versioned_as_of(spark, base, v)
+        outs.append(
+            snap.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(_H.h64("text", nchars=12)).alias("content_sum"),
+            ).select(F.lit(v).alias("version"), "*")
+        )
+    return outs[0].unionByName(outs[1])

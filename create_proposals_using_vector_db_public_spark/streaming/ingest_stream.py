@@ -172,6 +172,73 @@ def read_versioned(spark, table_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
 
 
+def read_versioned_as_of(spark, table_dir: str, version: int) -> DataFrame:
+    """Time travel: read the table AS OF ``version`` — any snapshot dir
+    that retention has not deleted, not just CURRENT. Snapshots are
+    immutable once the pointer moves past them, so an as-of read is
+    reproducible for as long as the version is retained (the Delta/
+    Iceberg ``VERSION AS OF`` semantics on the minimal commit protocol).
+    Raises on a version that never existed or was vacuumed by
+    ``keep_versions`` — silently falling back to CURRENT would be a
+    correctness bug in any downstream diff/audit."""
+    import os
+
+    path = os.path.join(table_dir, f"v{version}")
+    if not os.path.isdir(path):
+        cur = _current_version(spark, table_dir)
+        raise ValueError(
+            f"version {version} not available in {table_dir} "
+            f"(CURRENT={cur}; retained snapshots only — vacuumed or "
+            "never-written versions cannot be read)"
+        )
+    return spark.read.parquet(path)
+
+
+def commit_version(
+    batch_df: DataFrame,
+    table_dir: str,
+    file_col: str = "file_name",
+    keep_versions: int | None = None,
+) -> int:
+    """ONE versioned-store commit from a batch DataFrame: upsert against
+    the CURRENT snapshot, write ``v{n+1}`` to a fresh path, flip the
+    pointer atomically, apply retention. The streaming upsert's
+    foreachBatch delegates here, so batch writers, the stream, and the
+    as-of-version read all share a single commit protocol. Returns the
+    committed version number."""
+    import os
+    import shutil
+
+    from ..operators.ingest import upsert_files
+
+    spark = batch_df.sparkSession
+    # one pointer read: the snapshot merged FROM and the version number
+    # committed TO must come from the same observed state
+    cur_v = _current_version(spark, table_dir)
+    cur = (
+        None
+        if cur_v < 0
+        else spark.read.parquet(os.path.join(table_dir, f"v{cur_v}"))
+    )
+    merged = (
+        batch_df
+        if cur is None
+        else upsert_files(cur, batch_df, file_col=file_col)
+    )
+    v = cur_v + 1
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{v}"))
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))  # atomic commit
+    if keep_versions is not None:
+        for old in range(max(0, v - keep_versions + 1)):
+            stale = os.path.join(table_dir, f"v{old}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+    return v
+
+
 def stream_upsert_to_versioned(
     stream_df: DataFrame,
     table_dir: str,
@@ -204,46 +271,17 @@ def stream_upsert_to_versioned(
     version read and the commit number derive from ONE pointer read so a
     violated assumption loses at most the slower writer's commit, never
     a half-written snapshot."""
-    import os
-    import shutil
-
-    from ..operators.ingest import upsert_files
-
     if keep_versions is not None and keep_versions < 1:
         # 0 would delete the snapshot just committed and brick the table
         raise ValueError("keep_versions must be >= 1 (or None to keep all)")
 
-    spark = stream_df.sparkSession
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # one pointer read: the snapshot merged FROM and the version number
-        # committed TO must come from the same observed state
-        cur_v = _current_version(spark, table_dir)
-        cur = (
-            None
-            if cur_v < 0
-            else spark.read.parquet(os.path.join(table_dir, f"v{cur_v}"))
+        commit_version(
+            batch_df, table_dir, file_col=file_col,
+            keep_versions=keep_versions,
         )
-        merged = (
-            batch_df
-            if cur is None
-            else upsert_files(cur, batch_df, file_col=file_col)
-        )
-        v = cur_v + 1
-        merged.write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"v{v}")
-        )
-        tmp = os.path.join(table_dir, "CURRENT.tmp")
-        with open(tmp, "w", encoding="ascii") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(table_dir, "CURRENT"))  # atomic commit
-        if keep_versions is not None:
-            for old in range(max(0, v - keep_versions + 1)):
-                stale = os.path.join(table_dir, f"v{old}")
-                if os.path.isdir(stale):
-                    shutil.rmtree(stale, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -283,3 +283,40 @@ def test_stream_upsert_retention_prunes_old_versions(spark, watch_dir, tmp_path)
     assert not os.path.isdir(f"{table}/v0")  # pruned
     cur = S.read_versioned(spark, table)
     assert [r["text"] for r in cur.collect()] == ["v2"]
+
+
+def test_commit_version_and_as_of_read(spark, tmp_path):
+    """Batch commit path + time travel: commit_version returns 0,1,2;
+    read_versioned_as_of(v) reproduces each committed snapshot exactly;
+    a never-written version fails loudly."""
+    import pytest
+
+    table = str(tmp_path / "table")
+    d1 = spark.createDataFrame(
+        [("a.docx", "a v1"), ("b.docx", "b v1")], "file_name string, text string"
+    )
+    d2 = spark.createDataFrame([("a.docx", "a v2")], "file_name string, text string")
+    assert S.commit_version(d1, table) == 0
+    assert S.commit_version(d2, table) == 1
+
+    v0 = sorted((r.file_name, r.text) for r in S.read_versioned_as_of(spark, table, 0).collect())
+    v1 = sorted((r.file_name, r.text) for r in S.read_versioned_as_of(spark, table, 1).collect())
+    assert v0 == [("a.docx", "a v1"), ("b.docx", "b v1")]
+    assert v1 == [("a.docx", "a v2"), ("b.docx", "b v1")]
+    with pytest.raises(ValueError, match="version 7 not available"):
+        S.read_versioned_as_of(spark, table, 7)
+
+
+def test_as_of_read_refuses_vacuumed_version(spark, tmp_path):
+    """Retention + time travel: a version pruned by keep_versions must
+    raise on as-of read (CURRENT fallback would be a correctness bug)."""
+    import pytest
+
+    table = str(tmp_path / "table")
+    d1 = spark.createDataFrame([("a.docx", "v1")], "file_name string, text string")
+    d2 = spark.createDataFrame([("a.docx", "v2")], "file_name string, text string")
+    S.commit_version(d1, table, keep_versions=1)
+    S.commit_version(d2, table, keep_versions=1)
+    with pytest.raises(ValueError, match="version 0 not available"):
+        S.read_versioned_as_of(spark, table, 0)
+    assert [r.text for r in S.read_versioned_as_of(spark, table, 1).collect()] == ["v2"]
