@@ -173,6 +173,14 @@ def mmr_select(
                     lam * F.col(rel_col) - (1.0 - lam) * F.col("__ms"), 6
                 ),
             )
+            # a candidate whose similarity to EVERY selected item is
+            # undefined (zero-norm vector → NULL cosine → NULL max → NULL
+            # score) cannot be MMR-ranked — skip it explicitly. Without
+            # this filter the desc sort's NULLS-LAST would still pick such
+            # a row when it is the only candidate left, ranking it by id
+            # rather than by MMR (caught by the greedy-reference property
+            # test's zero-vector example).
+            .filter(F.col("__score").isNotNull())
             .orderBy(F.col("__score").desc(), F.col(id_col).asc())
             .limit(1)
             .select(id_col, vec_col, rel_col)

@@ -211,6 +211,12 @@ def commit_version(
 
     from ..operators.ingest import upsert_files
 
+    if keep_versions is not None and keep_versions < 1:
+        # 0 would delete the snapshot just committed and brick the table;
+        # validated here (not only in the streaming wrapper) because this
+        # is the shared public commit path
+        raise ValueError("keep_versions must be >= 1 (or None to keep all)")
+
     spark = batch_df.sparkSession
     # one pointer read: the snapshot merged FROM and the version number
     # committed TO must come from the same observed state

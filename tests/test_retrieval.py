@@ -183,3 +183,24 @@ def test_bm25_duplicate_terms_do_not_double_count(spark):
     s1 = {r["doc_id"]: r["score"] for r in R.bm25_scores(docs, once).collect()}
     s2 = {r["doc_id"]: r["score"] for r in R.bm25_scores(docs, twice).collect()}
     assert s1 == s2
+
+
+def test_mmr_select_skips_unscoreable_zero_vector(spark):
+    """A candidate whose cosine to every selected item is undefined
+    (zero-norm vector) must be SKIPPED by the greedy argmax, not ranked
+    by id through the desc-sort's NULLS-LAST (regression: hypothesis
+    found [(rel 0, [0,0,0]), (rel 0, [0,0,1])] ranked the zero-vector
+    doc first, then selected the unscoreable survivor anyway)."""
+    from create_proposals_using_vector_db_public_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0], 0.0), (1, [0.0, 0.0, 1.0], 0.0)],
+        "doc_id long, emb array<double>, rel double",
+    )
+    got = sorted(
+        (r.doc_id, r.mmr_rank)
+        for r in R.mmr_select(df, k=2, lam=0.5).collect()
+    )
+    # doc 0 wins step 1 on the (rel desc, id asc) tie-break; doc 1's only
+    # sim is vs the zero vector -> NULL -> unscoreable -> dropped
+    assert got == [(0, 1)]

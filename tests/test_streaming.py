@@ -320,3 +320,14 @@ def test_as_of_read_refuses_vacuumed_version(spark, tmp_path):
     with pytest.raises(ValueError, match="version 0 not available"):
         S.read_versioned_as_of(spark, table, 0)
     assert [r.text for r in S.read_versioned_as_of(spark, table, 1).collect()] == ["v2"]
+
+
+def test_commit_version_rejects_keep_versions_zero(spark, tmp_path):
+    """keep_versions=0 on the shared commit path would delete the
+    snapshot just committed — must be rejected at the public API, not
+    only in the streaming wrapper."""
+    import pytest
+
+    d = spark.createDataFrame([("a.docx", "v1")], "file_name string, text string")
+    with pytest.raises(ValueError, match="keep_versions must be >= 1"):
+        S.commit_version(d, str(tmp_path / "t"), keep_versions=0)

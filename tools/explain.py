@@ -59,6 +59,8 @@ NAMES = sys.argv[2:] or [
     "q_bpe_encode",
     "q_prefix_complete",
     "q_variant_json",
+    # round-3 additions
+    "q_snapshot_read",
 ]
 
 
