@@ -55,6 +55,15 @@ def _load_model():
     return _MODEL_SINGLETON["model"]
 
 
+def fallback_active() -> bool:
+    """True when the embedder will take the hash-fallback path — keyed on
+    whether the model actually LOADS (same ``_load_model()`` the UDF
+    calls), not on mere importability: torch+transformers importable but
+    weights unavailable still means fallback, and invariants keyed to the
+    wrong path would silently weaken (or spuriously fail)."""
+    return _load_model() is None
+
+
 def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
     """Deterministic fallback embedder: seeds a per-text RNG from sha256 and
     draws a unit vector. Same shape/dtype/zero-for-empty contract as the
@@ -88,7 +97,9 @@ def _model_embed_batch(
     tok, model = bundle
     vals = ["" if t is None else str(t) for t in texts]
     nonempty = [i for i, t in enumerate(vals) if t]
-    out: list[list[float]] = [[0.0] * dim] * len(vals)
+    # independent rows, not N references to one shared zero list — an
+    # in-place write through an alias would corrupt every zero row
+    out: list[list[float]] = [[0.0] * dim for _ in vals]
     if nonempty:
         with torch.no_grad():
             enc = tok(

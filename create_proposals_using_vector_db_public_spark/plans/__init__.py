@@ -38,13 +38,14 @@ from . import (  # noqa: F401,E402
 
 # Rebuild the registries in an explicit priority order. The driver checks a
 # bounded 50-entry registry PREFIX per round; cumulative driver-green after
-# rounds 1+2 is 98/205 distinct queries (48 r1 + 50 r2). Round 3 rotates the
-# window onto queries that have NEVER had a driver row — slots 1-45 — plus
-# 5 sentinel re-checks of the flagships (slots 46-50) to catch regressions
+# rounds 1+2 is 98 distinct queries (48 r1 + 50 r2) of the 206-query /
+# 202-oracle registry. Round 3 rotates the window onto queries that have
+# NEVER had a driver row — slots 1-46, including the new q_snapshot_read —
+# plus 4 sentinel re-checks of flagships (slots 47-50) to catch regressions
 # introduced this round. Everything below the boundary keeps local exact
 # parity (tools/parity.py --exact) as its evidence.
 _PRIORITY = [
-    # ---- round-3 window, slots 1-45: first-time driver evidence ----
+    # ---- round-3 window, slots 1-46: first-time driver evidence ----
     # TPC-H decision-support sweep (Q3/Q6/Q7/Q9/Q10/Q11/Q13/Q16/Q19/Q21
     # shapes) — the classic OLAP core, local-exact only until now
     "q_ship_priority", "q_forecast_revenue", "q_nation_volume",

@@ -197,10 +197,14 @@ def _mmr_chain_sql(k: int, lam: float) -> str:
   SELECT r.doc_id, max(round({d_cosine("r.emb", "s.emb")}, 6)) AS ms
   FROM rem{s} r, all{p} s GROUP BY r.doc_id
 ), sel{s} AS (
+  -- the WHERE mirrors mmr_select's NULL-score skip: a candidate whose
+  -- similarity to every selected item is undefined (zero-norm vector)
+  -- is unscoreable and must not be ranked by the NULLS-LAST tiebreak
   SELECT r.doc_id, r.emb, r.rel, {s} AS mmr_rank
   FROM rem{s} r JOIN ms{s} m ON r.doc_id = m.doc_id
+  WHERE round({lam} * r.rel - {1.0 - lam} * m.ms, 6) IS NOT NULL
   ORDER BY round({lam} * r.rel - {1.0 - lam} * m.ms, 6)
-           DESC NULLS LAST, r.doc_id ASC
+           DESC, r.doc_id ASC
   LIMIT 1
 ), all{s} AS (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{s})""")
     return ",\n".join(parts)

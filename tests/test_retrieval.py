@@ -204,3 +204,33 @@ def test_mmr_select_skips_unscoreable_zero_vector(spark):
     # doc 0 wins step 1 on the (rel desc, id asc) tie-break; doc 1's only
     # sim is vs the zero vector -> NULL -> unscoreable -> dropped
     assert got == [(0, 1)]
+
+
+def test_mmr_oracle_chain_mirrors_null_score_skip(spark):
+    """The DuckDB greedy chain (_mmr_chain_sql) must implement the SAME
+    unscoreable-candidate skip as mmr_select — review r3 found the oracle
+    still ranking a NULL-scored zero-vector candidate via NULLS LAST
+    while Spark dropped it, a latent parity break on any corpus with an
+    empty-text (zero-vector) doc in the MMR candidate set."""
+    import duckdb
+
+    from create_proposals_using_vector_db_public_spark.operators import retrieval as R
+    from create_proposals_using_vector_db_public_spark.plans.retrieval_queries import _mmr_chain_sql
+
+    sql = (
+        "WITH cand AS (SELECT * FROM (VALUES "
+        "(0, [0.0, 0.0, 0.0], 0.0), (1, [0.0, 0.0, 1.0], 0.0)"
+        ") AS t(doc_id, emb, rel)),\n"
+        + _mmr_chain_sql(2, 0.5)
+        + "\nSELECT doc_id, mmr_rank FROM all2 ORDER BY mmr_rank"
+    )
+    duck = duckdb.sql(sql).fetchall()
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0], 0.0), (1, [0.0, 0.0, 1.0], 0.0)],
+        "doc_id long, emb array<double>, rel double",
+    )
+    got = sorted(
+        (r.doc_id, r.mmr_rank)
+        for r in R.mmr_select(df, k=2, lam=0.5).collect()
+    )
+    assert sorted(duck) == got == [(0, 1)]
