@@ -420,3 +420,106 @@ def test_tokens_cross_engine_equals_duckdb_d_words(spark, texts):
         ).fetchall()
     }
     assert got_spark == got_duck
+
+
+# --- round-3 properties: BPE merge device, KMV merge, pair-eval canon --------
+
+
+def _py_bpe_merge(word: str, a: str, b: str) -> list[str]:
+    """Sennrich greedy left-to-right non-overlapping single-merge
+    reference: scan symbols (chars + </w>), merging (a,b) pairs."""
+    syms = list(word) + ["</w>"]
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=12),
+    st.sampled_from(["a", "b", "c"]),
+    st.sampled_from(["a", "b", "c", "</w>"]),
+)
+def test_bpe_doubled_delimiter_replace_equals_greedy_merge(spark, word, a, b):
+    """The doubled-delimiter encoding ('|x||y|' -> '|xy|') must equal the
+    Python greedy left-to-right merge for ARBITRARY words and pairs —
+    including adjacent repeats ('abab', 'bbbb') and merges involving the
+    </w> terminator — not just the hand-picked device cases."""
+    df = spark.createDataFrame([(word,)], "wd string")
+    enc = df.select(
+        F.concat(
+            F.regexp_replace("wd", "(.)", "|$1|"), F.lit("|</w>|")
+        ).alias("s0")
+    ).select(
+        F.replace(
+            F.col("s0"),
+            F.lit(f"|{a}||{b}|"),
+            F.lit(f"|{a}{b}|"),
+        ).alias("s1")
+    )
+    got = enc.head().s1
+    want = "".join(f"|{s}|" for s in _py_bpe_merge(word, a, b))
+    assert got == want, f"{word} merge ({a},{b}): {got} != {want}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # month
+            st.integers(min_value=0, max_value=10_000),  # key
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.sampled_from([4, 8, 16]),
+)
+def test_kmv_month_merge_is_lossless(spark, rows, k):
+    """KMV merge property behind q_hll_merge: the union of per-month
+    k-minima contains every quarter-level k-minimum (any value among the
+    quarter's k smallest distinct hashes is among its month's k smallest),
+    so merging month sketches loses nothing vs computing the quarter
+    sketch directly."""
+    hashes = {}
+    for m, key in rows:
+        hashes.setdefault(m, set()).add(hash(("kmv", key)) & ((1 << 60) - 1))
+    month_minima = [sorted(s)[:k] for s in hashes.values()]
+    merged = sorted(set().union(*[set(x) for x in month_minima]))[:k]
+    direct = sorted(set().union(*hashes.values()))[:k]
+    assert merged == direct
+
+
+def test_pair_eval_is_detector_convention_invariant(spark):
+    """_pair_eval must price a detector identically whether it emits
+    ordered-distinct pairs, reversed pairs, or duplicates (ADVICE r2):
+    canonicalization happens inside the harness."""
+    import os
+
+    import pytest
+
+    SF = "/root/testdata/sf0.001"
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata absent")
+    from create_proposals_using_vector_db_public_spark.plans.dedup_queries import (
+        _corpus,
+        _pair_eval,
+    )
+
+    corpus = _corpus(spark, SF)
+    base = spark.createDataFrame(
+        [(0, 100000), (50, 100050)], "id_a long, id_b long"
+    )
+    messy = spark.createDataFrame(
+        [(100000, 0), (0, 100000), (50, 100050), (100050, 50), (0, 100000)],
+        "id_a long, id_b long",
+    )
+    a = _pair_eval(spark, SF, corpus, base).collect()[0]
+    b = _pair_eval(spark, SF, corpus, messy).collect()[0]
+    assert a.asDict() == b.asDict()
+    assert a.n_emitted == 2
