@@ -140,3 +140,26 @@ def test_large_orders_having_prunes_before_join(spark):
     assert aggregate_nodes(p) >= 2
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_kmv_topk_uses_window_group_limit(spark):
+    """q_hll_merge's KMV arm: Spark must compile the rank<=k filters to
+    WindowGroupLimit — a map-side per-partition top-k BEFORE the shuffle,
+    so only <=k rows per (quarter, month) cross the wire. Losing this
+    (e.g. by filtering on a derived column Catalyst can't see through)
+    would shuffle every distinct hash at 100 TB."""
+    p = plan_of(spark, "q_hll_merge")
+    assert "WindowGroupLimit" in p
+
+
+def test_snapshot_as_of_read_is_plain_pruned_scan(spark):
+    """q_snapshot_read: each as-of read must be an ordinary parquet scan
+    of the immutable snapshot dir feeding a partial+final aggregate — no
+    join back to source, no global sort; time travel costs a pointer
+    lookup plus a scan."""
+    import re
+
+    p = plan_of(spark, "q_snapshot_read")
+    assert "Scan parquet" in p
+    assert not re.search(r"\bSort \(", p)
+    assert "HashAggregate" in p
