@@ -55,13 +55,27 @@ def _load_model():
     return _MODEL_SINGLETON["model"]
 
 
-def fallback_active() -> bool:
-    """True when the embedder will take the hash-fallback path — keyed on
-    whether the model actually LOADS (same ``_load_model()`` the UDF
-    calls), not on mere importability: torch+transformers importable but
-    weights unavailable still means fallback, and invariants keyed to the
-    wrong path would silently weaken (or spuriously fail)."""
-    return _load_model() is None
+def model_path_possible() -> bool:
+    """True when torch+transformers are importable in THIS Python env —
+    i.e. the embedder's model path MAY run on executors. Deliberately an
+    importability probe (``find_spec``, no import, no weight download),
+    not a driver-side ``_load_model()``: the UDF loads the model in
+    executor workers, so a driver probe that actually loads would (a)
+    pull multi-GB weights at plan-build time and (b) still be able to
+    disagree with what workers do. Callers keying invariants on this get
+    the CONSERVATIVE answer: importable ⇒ assume the model path may run
+    and apply only path-shared invariants; not importable ⇒ workers in
+    the same env must fall back, so fallback-only invariants (exact unit
+    norm, exact self-distance 0) are safe."""
+    import importlib.util
+
+    try:
+        return (
+            importlib.util.find_spec("torch") is not None
+            and importlib.util.find_spec("transformers") is not None
+        )
+    except (ImportError, ValueError):
+        return False
 
 
 def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:

@@ -136,7 +136,17 @@ def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:  # fail loudly: a renamed query must update the priority list
         raise RuntimeError(f"priority queries not registered: {missing}")
-    ordered = _PRIORITY + [n for n in QUERIES if n not in set(_PRIORITY)]
+    unlisted = [n for n in QUERIES if n not in set(_PRIORITY)]
+    if unlisted:
+        # fail loudly in the OTHER direction too: a silently-appended new
+        # query would land after the rows-only block, violating the
+        # documented tail invariant (extra driver slots hit unchecked
+        # oracle-bearing queries first, rows-only last)
+        raise RuntimeError(
+            f"queries missing from _PRIORITY (add them explicitly — the "
+            f"tail order is deliberate): {unlisted}"
+        )
+    ordered = list(_PRIORITY)  # complete by the two checks above
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
         reg.clear()

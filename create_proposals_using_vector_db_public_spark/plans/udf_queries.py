@@ -37,30 +37,35 @@ def q_udf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback embedder in this container): embeds a slice of documents and
     reports per-row norm + dim, plus SELF-ASSERTING invariants the
     fallback and real-model paths share — emitted dim == requested dim,
-    zero-vector iff empty text, and (fallback only) unit L2 norm. A
-    violation raises instead of returning plausible rows."""
+    zero-vector iff empty text, and (fallback-only env) unit L2 norm. A
+    violation raises instead of returning plausible rows.
+
+    When torch+transformers are importable the request uses the model's
+    native width (LaBSE 768 — a 64-dim request would trip the embedder's
+    dim-mismatch guard) and only the path-shared invariants apply,
+    because executors, not the driver, decide per-batch whether the
+    model actually loads. When the stack is absent the fallback is the
+    only possible path, so the strict unit-norm invariant is safe."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    emb = ml.with_embeddings(d.select("doc_id", "text"), dim=64)
+    model_possible = ml.model_path_possible()
+    dim = ml.EMBED_DIM if model_possible else 64
+    emb = ml.with_embeddings(d.select("doc_id", "text"), dim=dim)
     norm = V.l2_norm(V.as_double_array("embedding"))
     empty = F.col("text").isNull() | (F.length("text") == 0)
     # float32 storage: unit norm holds to ~1e-5 after the cast back up
     unit = F.abs(norm - 1.0) < 1e-4
-    # keyed on the path that actually RUNS (ml.fallback_active probes the
-    # same _load_model() the UDF calls), so a half-installed stack —
-    # transformers importable, weights unavailable — still gets the
-    # strict unit-norm invariant the active fallback guarantees
     norm_ok = (
-        _checked(empty | unit, "nonempty text must embed to a unit vector")
-        if ml.fallback_active()
-        else _checked(empty | (norm > 0), "nonempty text embedded to zero")
+        _checked(empty | (norm > 0), "nonempty text embedded to zero")
+        if model_possible
+        else _checked(empty | unit, "nonempty text must embed to a unit vector")
     )
     return emb.select(
         "doc_id",
         F.size("embedding").alias("dim"),
         F.round(norm, 4).alias("norm"),
-        _checked(F.size("embedding") == 64, "dim != requested 64").alias(
-            "dim_ok"
-        ),
+        _checked(
+            F.size("embedding") == dim, f"dim != requested {dim}"
+        ).alias("dim_ok"),
         _checked(
             empty == (norm == 0.0), "zero-vector iff empty text (R8)"
         ).alias("zero_iff_empty"),
@@ -74,23 +79,28 @@ def q_udf_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings: embed, take doc 0 as the query, exact L2 top-5 — with
     self-asserting invariants any correct impl must satisfy: ranks are
     consecutive from 1, distance is non-decreasing in rank, the rank-1
-    hit is the query doc itself at distance exactly 0, and cosine stays
-    in [-1, 1]."""
+    hit is the query doc itself at (near-)zero distance, and cosine
+    stays in [-1, 1]. Like q_udf_embed, the requested dim follows the
+    env: the model's native width when torch+transformers are
+    importable (a 64-dim request would trip the embedder's dim-mismatch
+    guard), 64 on the fallback-only path."""
     from pyspark.sql import Window
 
     from ..operators import knn as K
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    model_possible = ml.model_path_possible()
+    dim = ml.EMBED_DIM if model_possible else 64
     # embed ONLY the query row to extract the vector — embedding the whole
     # table here would run the 200-doc UDF twice (once for this head(),
     # once inside knn)
     qrow = ml.with_embeddings(
-        d.filter(F.col("doc_id") == 0).select("doc_id", "text"), dim=64
+        d.filter(F.col("doc_id") == 0).select("doc_id", "text"), dim=dim
     ).select("embedding").head()
     if qrow is None:
         raise ValueError("q_udf_embed_knn: query document doc_id=0 absent")
     qv = [float(x) for x in qrow[0]]
-    emb = ml.with_embeddings(d.select("doc_id", "text"), dim=64)
+    emb = ml.with_embeddings(d.select("doc_id", "text"), dim=dim)
     res = K.knn(emb.drop("text"), qv, k=5, id_col="doc_id")
     w = Window.orderBy("rank")  # 5 rows — single partition is fine
     return (
@@ -108,19 +118,19 @@ def q_udf_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_prev").isNull() | (F.col("dist") >= F.col("_prev")),
                 "distance not monotone in rank",
             ).alias("dist_monotone_ok"),
-            # fallback path: the query vector is the stored vector, so the
-            # self-distance is EXACTLY 0. Model path: embeddings are
-            # recomputed in a different Arrow batch, and transformer
-            # forwards are not bitwise batch-composition-invariant — allow
-            # float32 re-embedding jitter there, but still require the
-            # query doc itself on top.
+            # fallback-only env: the query vector IS the stored vector, so
+            # the self-distance is EXACTLY 0. Model-possible env:
+            # embeddings are recomputed in a different Arrow batch, and
+            # transformer forwards are not bitwise batch-composition-
+            # invariant — allow float32 re-embedding jitter there, but
+            # still require the query doc itself on top.
             _checked(
                 (F.col("rank") != 1)
                 | (
                     (
-                        F.col("dist") == 0.0
-                        if ml.fallback_active()
-                        else F.col("dist") < 1e-3
+                        F.col("dist") < 1e-3
+                        if model_possible
+                        else F.col("dist") == 0.0
                     )
                     & (F.col("doc_id") == 0)
                 ),

@@ -480,12 +480,14 @@ def test_bpe_doubled_delimiter_replace_equals_greedy_merge(spark, word, a, b):
     ),
     st.sampled_from([4, 8, 16]),
 )
-def test_kmv_month_merge_is_lossless(spark, rows, k):
-    """KMV merge property behind q_hll_merge: the union of per-month
-    k-minima contains every quarter-level k-minimum (any value among the
-    quarter's k smallest distinct hashes is among its month's k smallest),
-    so merging month sketches loses nothing vs computing the quarter
-    sketch directly."""
+def test_kmv_month_merge_is_lossless(rows, k):
+    """Pure-math half of the KMV pin: the union of per-month k-minima
+    contains every quarter-level k-minimum (any value among the quarter's
+    k smallest distinct hashes is among its month's k smallest), so
+    merging month sketches loses nothing vs computing the quarter sketch
+    directly. (Engine-level coverage of q_hll_merge's ACTUAL md5-based
+    Spark pipeline is test_hll_merge_kmv_matches_direct_python below —
+    this property just proves the merge identity the query relies on.)"""
     hashes = {}
     for m, key in rows:
         hashes.setdefault(m, set()).add(hash(("kmv", key)) & ((1 << 60) - 1))
@@ -493,6 +495,54 @@ def test_kmv_month_merge_is_lossless(spark, rows, k):
     merged = sorted(set().union(*[set(x) for x in month_minima]))[:k]
     direct = sorted(set().union(*hashes.values()))[:k]
     assert merged == direct
+
+
+def test_hll_merge_kmv_matches_direct_python(spark):
+    """Engine-level KMV pin, independent of the mirrored DuckDB oracle:
+    recompute each quarter's KMV estimate DIRECTLY in Python (md5-h64
+    distinct hashes of l_partkey per quarter, k-th smallest, the
+    (k-1)*2^60/h_k estimator) from the raw parquet, and require
+    q_hll_merge's month-merged Spark pipeline to produce the identical
+    rounded estimate. Catches a regression in the Spark rank/merge SQL
+    that the parity gate would miss only if the oracle regressed the
+    same way."""
+    import hashlib
+    import os
+
+    import pytest
+
+    SF = "/root/testdata/sf0.001"
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata absent")
+    import duckdb
+
+    from create_proposals_using_vector_db_public_spark.plans import QUERIES
+    from create_proposals_using_vector_db_public_spark.plans.scale_queries import (
+        _KMV_K,
+        _KMV_NUM,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT strftime(date_trunc('quarter', l_shipdate), '%Y-%m') q, "
+        f"l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    per_q: dict[str, set[int]] = {}
+    for q, pk in raw:
+        h = int(hashlib.md5(str(pk).encode()).hexdigest()[:15], 16)
+        per_q.setdefault(q, set()).add(h)
+    expect = {}
+    for q, hs in per_q.items():
+        mins = sorted(hs)[:_KMV_K]
+        if len(mins) < _KMV_K:
+            est = float(len(mins))
+        else:
+            est = _KMV_NUM / float(mins[-1])
+        expect[q] = _r6(est)  # HALF_UP like F.round, not Python round()
+    got = {
+        r.quarter: r.kmv_est
+        for r in QUERIES["q_hll_merge"](spark, SF).collect()
+    }
+    assert got == expect
 
 
 def test_pair_eval_is_detector_convention_invariant(spark):
