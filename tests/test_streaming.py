@@ -331,3 +331,50 @@ def test_commit_version_rejects_keep_versions_zero(spark, tmp_path):
     d = spark.createDataFrame([("a.docx", "v1")], "file_name string, text string")
     with pytest.raises(ValueError, match="keep_versions must be >= 1"):
         S.commit_version(d, str(tmp_path / "t"), keep_versions=0)
+
+
+def test_versioned_store_random_commit_sequences(spark, tmp_path):
+    """Commit-protocol property: for a random sequence of upsert batches,
+    every retained version read back AS OF equals a Python dict replay of
+    delete-then-insert semantics (all rows of a re-arriving file replaced
+    wholesale, untouched files preserved), and CURRENT always equals the
+    last committed version. Deterministic seed — hypothesis would rebuild
+    a SparkSession-heavy store per example; a seeded sweep of 3 sequences
+    covers overlap/disjoint/repeat patterns at trivial cost."""
+    import random
+
+    rnd = random.Random(42)
+    files = [f"f{i}.docx" for i in range(5)]
+    for seq in range(3):
+        table = str(tmp_path / f"store_{seq}")
+        replay: dict[str, list[tuple[str, int]]] = {}
+        snapshots = []
+        for commit in range(4):
+            chosen = rnd.sample(files, rnd.randint(1, 3))
+            rows = [
+                (f, rnd.randint(0, 9) + 10 * commit)
+                for f in chosen
+                for _ in range(rnd.randint(1, 2))
+            ]
+            batch = spark.createDataFrame(
+                rows, "file_name string, paragraph_idx long"
+            )
+            v = S.commit_version(batch, table)
+            assert v == commit
+            # python replay: delete-then-insert per arriving file
+            for f in chosen:
+                replay[f] = []
+            for f, p in rows:
+                replay[f].append((f, p))
+            snapshots.append(sorted(r for rs in replay.values() for r in rs))
+        for v, want in enumerate(snapshots):
+            got = sorted(
+                (r.file_name, r.paragraph_idx)
+                for r in S.read_versioned_as_of(spark, table, v).collect()
+            )
+            assert got == want, f"seq {seq} version {v}"
+        cur = sorted(
+            (r.file_name, r.paragraph_idx)
+            for r in S.read_versioned(spark, table).collect()
+        )
+        assert cur == snapshots[-1]
