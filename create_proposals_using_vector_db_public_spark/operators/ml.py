@@ -160,6 +160,40 @@ def embedder_udf(dim: int = EMBED_DIM, max_length: int = 512):
     return embed
 
 
+def _keybert_extract_batch(
+    kw_model, texts: pd.Series, top_n: int
+) -> pd.Series:
+    """KeyBERT-path batch keyword extraction: ONE ``extract_keywords``
+    call over the document LIST per Arrow batch (the same batching
+    discipline as embedder_udf — the reference calls the model per row,
+    ``app_callapi.py:110-115``). Empty/None texts yield []; a model
+    exception degrades to the reference's own fallback — first top_n
+    whitespace tokens (``app_callapi.py:149-152``) — per batch.
+    Module-level (not a UDF closure) so the list-input normalization and
+    the exception fallback are unit-testable with a fake model while the
+    container lacks keybert."""
+    vals = ["" if t is None else str(t) for t in texts]
+    nonempty = [i for i, t in enumerate(vals) if t]
+    out: list[list[str]] = [[] for _ in vals]
+    if nonempty:
+        try:
+            batch = kw_model.extract_keywords(
+                [vals[i] for i in nonempty],
+                keyphrase_ngram_range=(1, 2),
+                top_n=top_n,
+            )
+            # list-input returns list-of-lists; a single-doc list
+            # returns a flat pair list in some versions — normalize
+            if batch and isinstance(batch[0], tuple):
+                batch = [batch]
+            for row, i in enumerate(nonempty):
+                out[i] = [k for k, _ in batch[row]]
+        except Exception:
+            for i in nonempty:
+                out[i] = vals[i].split()[:top_n]
+    return pd.Series(out)
+
+
 def keyword_udf(top_n: int = 8):
     """pandas_udf keyword extraction: KeyBERT (ngram 1-2, top-8) when
     available; the reference's own fallback — first top_n whitespace tokens
@@ -172,33 +206,9 @@ def keyword_udf(top_n: int = 8):
 
             if "kw" not in _MODEL_SINGLETON:
                 _MODEL_SINGLETON["kw"] = KeyBERT()
-            kw_model = _MODEL_SINGLETON["kw"]
-
-            vals = ["" if t is None else str(t) for t in texts]
-            nonempty = [i for i, t in enumerate(vals) if t]
-            out: list[list[str]] = [[] for _ in vals]
-            if nonempty:
-                try:
-                    # KeyBERT accepts a document LIST — one embedding batch
-                    # per Arrow batch instead of a model call per row (the
-                    # same batching discipline as embedder_udf)
-                    batch = kw_model.extract_keywords(
-                        [vals[i] for i in nonempty],
-                        keyphrase_ngram_range=(1, 2),
-                        top_n=top_n,
-                    )
-                    # list-input returns list-of-lists; a single-doc list
-                    # returns a flat pair list in some versions — normalize
-                    if batch and isinstance(batch[0], tuple):
-                        batch = [batch]
-                    for row, i in enumerate(nonempty):
-                        out[i] = [k for k, _ in batch[row]]
-                except Exception:
-                    # the reference's own fallback, per row
-                    # (app_callapi.py:149-152)
-                    for i in nonempty:
-                        out[i] = vals[i].split()[:top_n]
-            return pd.Series(out)
+            return _keybert_extract_batch(
+                _MODEL_SINGLETON["kw"], texts, top_n
+            )
         except Exception:
             return texts.map(lambda t: (t or "").split()[:top_n])
 

@@ -183,3 +183,50 @@ def test_docx_extract_real_parser_over_reference_corpus():
         assert _extract_docx(data) == expected
         # a real parse never contains the zip magic of the raw container
         assert not _extract_docx(data).startswith("PK")
+
+
+def test_keybert_extract_batch_with_fake_model():
+    """The dormant KeyBERT branch's batch plumbing, verified without
+    keybert: one list-input call per batch, flat-pair-list normalization
+    (single-doc KeyBERT versions), [] for empty/None, and per-batch
+    degradation to the reference's first-top_n-tokens fallback when the
+    model raises."""
+    import pandas as pd
+
+    from create_proposals_using_vector_db_public_spark.operators.ml import _keybert_extract_batch
+
+    calls = []
+
+    class FakeKB:
+        def extract_keywords(self, docs, keyphrase_ngram_range, top_n):
+            calls.append(list(docs))
+            assert keyphrase_ngram_range == (1, 2)
+            return [
+                [(f"kw{j}_{i}", 0.9 - 0.1 * j) for j in range(min(top_n, 2))]
+                for i in range(len(docs))
+            ]
+
+    texts = pd.Series(["alpha beta", "", None, "gamma"])
+    out = _keybert_extract_batch(FakeKB(), texts, top_n=3)
+    assert len(calls) == 1 and calls[0] == ["alpha beta", "gamma"]
+    assert list(out[0]) == ["kw0_0", "kw1_0"]
+    assert list(out[1]) == [] and list(out[2]) == []
+    assert list(out[3]) == ["kw0_1", "kw1_1"]
+
+    class FlatKB:  # single-doc list returns a flat pair list in some versions
+        def extract_keywords(self, docs, keyphrase_ngram_range, top_n):
+            assert len(docs) == 1
+            return [("solo", 0.9)]
+
+    out2 = _keybert_extract_batch(FlatKB(), pd.Series(["one doc"]), top_n=3)
+    assert list(out2[0]) == ["solo"]
+
+    class BrokenKB:
+        def extract_keywords(self, docs, keyphrase_ngram_range, top_n):
+            raise RuntimeError("model exploded")
+
+    out3 = _keybert_extract_batch(
+        BrokenKB(), pd.Series(["a b c d e", ""]), top_n=3
+    )
+    assert list(out3[0]) == ["a", "b", "c"]  # reference fallback, top_n-capped
+    assert list(out3[1]) == []
