@@ -182,22 +182,35 @@ def _keybert_extract_batch(
                 keyphrase_ngram_range=(1, 2),
                 top_n=top_n,
             )
-            # list-input returns list-of-lists; a single-doc list
-            # returns a flat pair list in some versions — normalize
-            if batch and isinstance(batch[0], tuple):
+            # list-input returns list-of-lists; a single-doc list returns
+            # a FLAT pair list in some versions — including [] when the
+            # model finds no keywords (which must stay [], not fall
+            # through to batch[0] -> IndexError -> token fallback)
+            if len(nonempty) == 1 and (
+                not batch or isinstance(batch[0], tuple)
+            ):
                 batch = [batch]
             for row, i in enumerate(nonempty):
                 out[i] = [k for k, _ in batch[row]]
         except Exception:
             for i in nonempty:
-                out[i] = vals[i].split()[:top_n]
+                out[i] = _token_fallback(vals[i], top_n)
     return pd.Series(out)
+
+
+def _token_fallback(t, top_n: int) -> list[str]:
+    """The reference's own keyword fallback — first top_n whitespace
+    tokens (``app_callapi.py:152``) — single-sourced for both the
+    import-failure and model-exception degradation sites."""
+    return ("" if t is None else str(t)).split()[:top_n]
 
 
 def keyword_udf(top_n: int = 8):
     """pandas_udf keyword extraction: KeyBERT (ngram 1-2, top-8) when
-    available; the reference's own fallback — first top_n whitespace tokens
-    (``app_callapi.py:152``) — on ImportError OR per-row exception."""
+    available; the reference's own fallback (``_token_fallback``) on
+    import failure (whole series) or model exception (every nonempty row
+    of the failing Arrow batch — the batched extract call degrades
+    per batch, not per row)."""
 
     @pandas_udf(ArrayType(StringType()))
     def keywords(texts: pd.Series) -> pd.Series:
@@ -210,7 +223,7 @@ def keyword_udf(top_n: int = 8):
                 _MODEL_SINGLETON["kw"], texts, top_n
             )
         except Exception:
-            return texts.map(lambda t: (t or "").split()[:top_n])
+            return texts.map(lambda t: _token_fallback(t, top_n))
 
     return keywords
 

@@ -230,3 +230,22 @@ def test_keybert_extract_batch_with_fake_model():
     )
     assert list(out3[0]) == ["a", "b", "c"]  # reference fallback, top_n-capped
     assert list(out3[1]) == []
+
+
+def test_keybert_zero_keyword_single_doc_stays_empty():
+    """A flat-list KeyBERT version returning [] for a single doc with no
+    extractable keywords must yield [] — not IndexError-degrade to the
+    whitespace-token fallback (review r3 pass 3)."""
+    import pandas as pd
+
+    from create_proposals_using_vector_db_public_spark.operators.ml import _keybert_extract_batch
+
+    class EmptyFlatKB:
+        def extract_keywords(self, docs, keyphrase_ngram_range, top_n):
+            assert len(docs) == 1
+            return []  # flat form, zero keywords found
+
+    out = _keybert_extract_batch(
+        EmptyFlatKB(), pd.Series(["stopword only text"]), top_n=3
+    )
+    assert list(out[0]) == []
