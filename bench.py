@@ -1,7 +1,7 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: min_sec}, "passes": {name: [p0_sec, p1_sec]}, "sf": ...}.
 
 Each query is executed to completion (count-materialized — results stay
 distributed, nothing is collected to the driver beyond the row count, which
@@ -103,15 +103,15 @@ def main() -> None:
     # multi-minute host-level contention episodes (parallel throughput
     # drops ~10x while single-core work is unaffected); min-of-two samples
     # two time windows and measures the engine, not the noisy neighbor.
-    timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(2):
         for name in HEADLINE:
             t0 = time.time()
             n = QUERIES[name](spark, sf_dir).count()
             dt = time.time() - t0
-            prev = timings.get(name)
-            timings[name] = round(dt if prev is None else min(prev, dt), 3)
+            passes[name].append(round(dt, 3))
             print(f"# pass{_pass} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    timings = {name: min(ts) for name, ts in passes.items()}
     total = sum(timings.values())
 
     print(
@@ -121,6 +121,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                # both raw pass times per query: when a driver-recorded run
+                # diverges from a builder re-run on the same code, a large
+                # pass0/pass1 spread here shows host contention directly
+                # instead of leaving it to inference (VERDICT r3 §perf)
+                "passes": passes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

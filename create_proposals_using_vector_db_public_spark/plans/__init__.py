@@ -68,13 +68,15 @@ _PRIORITY = [
     "q_histogram", "q_approx_percentile", "q_grouping_sets",
     "q_token_count", "q_map_ops", "q_udtf_analyze",
     "q_udf_arrow", "q_map_arrow",
-    # ---- window boundary. Slots 51-58: the remaining 8 never-driver-checked
-    # oracle-bearing queries — round 5's rotation (or any harness that checks
+    # ---- window boundary. Slots 51-59: the remaining never-driver-checked
+    # oracle-bearing queries (incl. the round-4-new q_multimodal_hist) —
+    # round 5's rotation (or any harness that checks
     # >50 entries) hits these first. ----
     "q_variant_json", "q_corpus_shuffle", "q_dsir_select",
     "q_negative_sample", "q_ngram_diversity", "q_dedup_url",
     "q_prefix_complete", "q_reident_risk",
-    # ---- slots 59-62: the 4 rows-only-by-design queries (self-asserting
+    "q_multimodal_hist",
+    # ---- slots 60-63: the 4 rows-only-by-design queries (self-asserting
     # in-plan invariants since round 3), queued directly after so round 5's
     # window covers all 12 remaining and driver coverage reaches 206/206. ----
     "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",

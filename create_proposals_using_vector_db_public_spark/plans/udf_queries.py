@@ -253,6 +253,78 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample(blobs, n_frames=4)
 
 
+# The stub decode and byte histogram are deterministic functions of the
+# blob bytes (operators/multimodal.py:_decode_stub/_byte_histogram), and
+# the fixture blobs are UTF-8 of pure-ASCII document text — so char
+# positions ARE byte positions and DuckDB can replay the whole feature
+# extraction in SQL: width = 1 + n_bytes % 640, height = 1 + first_byte
+# % 480, bin = byte // 16, frac = bin_count / n_bytes (both sides divide
+# the same exact integers, so doubles agree bit-for-bit before rounding).
+_MULTIMODAL_HIST_ORACLE = """
+WITH b AS (
+  SELECT doc_id AS blob_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id < 200
+),
+bytes AS (
+  SELECT blob_id, ascii(substr(text, CAST(i AS INT), 1)) AS bv
+  FROM b, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) r
+),
+binned AS (
+  SELECT blob_id, CAST(bv // 16 AS INT) AS bin, count(*) AS c
+  FROM bytes GROUP BY 1, 2
+),
+grid AS (
+  SELECT blob_id, media_type, n_bytes,
+         CASE WHEN n_bytes = 0 THEN 0
+              ELSE CAST(1 + n_bytes % 640 AS INT) END AS width,
+         CASE WHEN n_bytes = 0 THEN 0
+              ELSE CAST(1 + ascii(substr(text, 1, 1)) % 480 AS INT)
+              END AS height,
+         CAST(g.i AS INT) AS bin
+  FROM b CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+)
+SELECT grid.blob_id, media_type, n_bytes, width, height, grid.bin,
+       round(CASE WHEN n_bytes = 0 THEN 0.0
+                  ELSE CAST(COALESCE(c, 0) AS DOUBLE) / n_bytes END,
+             6) AS frac
+FROM grid LEFT JOIN binned
+  ON grid.blob_id = binned.blob_id AND grid.bin = binned.bin
+"""
+
+
+@query("q_multimodal_hist", oracle=_MULTIMODAL_HIST_ORACLE)
+def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-exact arm of the multimodal feature extraction: the SAME
+    mapInPandas stub-decode path as q_multimodal_features (real Arrow
+    batching, real binary column, no shuffle), with the histogram
+    posexploded to (blob_id, bin, frac) rows so DuckDB can replay it
+    byte-for-byte from the source text. This pins the full feature
+    contract by value — q_multimodal_features keeps the invariant form
+    for the parts a future real decoder would make content-dependent."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = MM.extract_features(MM.make_blob_table(d))
+    return feats.select(
+        "blob_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        F.posexplode("histogram").alias("bin", "frac"),
+    ).select(
+        "blob_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "bin",
+        F.round("frac", 6).alias("frac"),
+    )
+
+
 # --- grouped-agg pandas UDF (UDAF surface), oracle-checked exactly -----------
 
 # Exactness trick: events.value is a 2dp money-like double, so round(v*100)

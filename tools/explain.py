@@ -1,4 +1,4 @@
-"""Dump formatted physical plans for the headline queries → tools/plans/.
+"""Dump formatted physical plans for registry queries → tools/plans/.
 
 Used to verify, per SURVEY §4 / the scale mandate:
 - predicate pushdown + column pruning reach the parquet scan
@@ -7,12 +7,27 @@ Used to verify, per SURVEY §4 / the scale mandate:
 - aggregations are partial+final (HashAggregate x2),
 - top-k compiles to TakeOrderedAndProject (no global sort),
 - WholeStageCodegen spans cover the hot expressions.
+
+Captures TWO artifact kinds:
+- tools/plans/<name>.txt  — full `explain("formatted")` text (human/judge
+  reading; default sf0.01);
+- tools/plans/SIGNATURES.json — per-query normalized physical-node
+  sequence captured at sf0.001 (the SF the test suite uses), pinned by
+  tests/test_plans.py::test_plan_signatures_unchanged. A broadcast→SMJ
+  flip, a lost WindowGroupLimit, or a new shuffle changes the node
+  sequence and fails the pin even though the query stays correct.
+
+Usage:
+  python tools/explain.py                      # all queries: txt + signatures
+  python tools/explain.py SF_DIR q_a q_b ...   # subset, txt only
 """
 
 from __future__ import annotations
 
 import io
+import json
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -21,62 +36,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from create_proposals_using_vector_db_public_spark.plans import QUERIES
 from create_proposals_using_vector_db_public_spark.session import get_spark
 
-NAMES = sys.argv[2:] or [
-    "q_scan_filter",
-    "q_agg_basic",
-    "q_join_shuffle",
-    "q_join_broadcast",
-    "q_topk_per_group",
-    "q_knn",
-    "q_knn_join",
-    "q_dedup_minhash",
-    "q_tfidf",
-    "q_stream_window",
-    # round-2 batch 5
-    "q_exists_corr",
-    "q_avg_subquery",
-    "q_interval_overlap",
-    "q_cms_heavy",
-    "q_domain_mix",
-    "q_ols",
-    # round-2 batch 6
-    "q_top_revenue",
-    "q_large_orders",
-    "q_min_cost_supplier",
-    "q_market_share",
-    "q_collocations",
-    "q_bpe_merges",
-    "q_dq_audit",
-    # round-2 batch 8
-    "q_gopher_quality",
-    "q_line_dedup",
-    "q_semdedup",
-    "q_ngram_diversity",
-    "q_rrf_fusion",
-    "q_query_expansion",
-    "q_k_anonymity",
-    "q_event_pattern",
-    "q_bpe_encode",
-    "q_prefix_complete",
-    "q_variant_json",
-    # round-3 additions
-    "q_snapshot_read",
-]
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans")
+SIG_PATH = os.path.join(OUT_DIR, "SIGNATURES.json")
+SIG_SF = "/root/testdata/sf0.001"
+
+_NODE = re.compile(r"^\(\d+\) ([A-Za-z][\w .]*?)\s*(?:\[codegen id : \d+\])?$",
+                   re.M)
+
+
+def plan_text(spark, name: str, sf_dir: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def signature(plan: str) -> list[str]:
+    """Ordered physical node names from the formatted plan's detail
+    headers — one entry per node, arguments/paths/ids stripped, so the
+    pin is structural (join strategy, shuffle count, agg levels) and not
+    brittle against temp paths or plan-id renumbering."""
+    return _NODE.findall(plan)
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans")
-    os.makedirs(out_dir, exist_ok=True)
+    txt_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(QUERIES)
+    full_capture = not sys.argv[2:]
+    os.makedirs(OUT_DIR, exist_ok=True)
     spark = get_spark("explain", shuffle_partitions=8)
-    for name in NAMES:
-        df = QUERIES[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
-            f.write(buf.getvalue())
+    sigs: dict[str, list[str]] = {}
+    for name in names:
+        with open(os.path.join(OUT_DIR, f"{name}.txt"), "w") as f:
+            f.write(plan_text(spark, name, txt_sf))
+        if full_capture:
+            sigs[name] = signature(plan_text(spark, name, SIG_SF))
         print(f"wrote {name}")
+    if full_capture:
+        with open(SIG_PATH, "w") as f:
+            json.dump({"sf_dir": SIG_SF, "signatures": sigs}, f, indent=0,
+                      sort_keys=True)
+        print(f"wrote {len(sigs)} signatures -> {SIG_PATH}")
     spark.stop()
 
 
