@@ -10,6 +10,7 @@ queries generalize those behaviors to the shapes a 100 TB warehouse needs.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -427,6 +428,11 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
+    # the returned DataFrame lazily reads the snapshot dirs, so they must
+    # outlive this function — reclaim them at interpreter exit instead
+    # (by then no further action can run; the pid suffix keeps parallel
+    # driver processes from clobbering each other's stores)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     key = F.col("doc_id").cast("string").alias("file_name")
     gen1 = d.filter(F.col("doc_id") < 250).select(
         key, "doc_id", "text", "n_chars"

@@ -47,6 +47,13 @@ def q_udf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     model actually loads. When the stack is absent the fallback is the
     only possible path, so the strict unit-norm invariant is safe."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # HOMOGENEOUS-ENV REQUIREMENT: this probes the DRIVER's Python env,
+    # but the invariants it gates are enforced on EXECUTOR output. On a
+    # cluster where the driver lacks torch/transformers while executors
+    # have them, the fallback-only strict invariants would false-fail —
+    # deploy driver and executors from the same image (the standard
+    # spark-submit layout), or swap this for an executor-side
+    # mapInPandas importability probe before heterogeneous deployment.
     model_possible = ml.model_path_possible()
     dim = ml.EMBED_DIM if model_possible else 64
     emb = ml.with_embeddings(d.select("doc_id", "text"), dim=dim)
@@ -89,6 +96,13 @@ def q_udf_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import knn as K
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # HOMOGENEOUS-ENV REQUIREMENT: this probes the DRIVER's Python env,
+    # but the invariants it gates are enforced on EXECUTOR output. On a
+    # cluster where the driver lacks torch/transformers while executors
+    # have them, the fallback-only strict invariants would false-fail —
+    # deploy driver and executors from the same image (the standard
+    # spark-submit layout), or swap this for an executor-side
+    # mapInPandas importability probe before heterogeneous deployment.
     model_possible = ml.model_path_possible()
     dim = ml.EMBED_DIM if model_possible else 64
     # embed ONLY the query row to extract the vector — embedding the whole

@@ -152,6 +152,39 @@ def test_kmv_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_plan_signatures_unchanged(spark):
+    """Registry-wide structural pin: the ordered physical-node sequence of
+    EVERY query (captured by tools/explain.py into
+    tools/plans/SIGNATURES.json at this same SF) must not drift. A
+    broadcast that silently becomes a SortMergeJoin, a lost
+    WindowGroupLimit, or an extra Exchange changes the sequence and fails
+    here long before it meets 100 TB. Node ARGUMENTS are not pinned, so
+    temp paths, plan-id renumbering, and partition counts don't trip it.
+
+    On intentional plan changes: re-run `python tools/explain.py` and
+    commit the refreshed SIGNATURES.json alongside the code change."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from explain import SIG_PATH, plan_text, signature
+
+    if not os.path.isfile(SIG_PATH):
+        pytest.skip("SIGNATURES.json not captured yet")
+    pinned = json.load(open(SIG_PATH))["signatures"]
+    drifted = {}
+    for name, want in pinned.items():
+        if name not in QUERIES:
+            continue  # renamed/dropped query: explain.py recapture pending
+        got = signature(plan_text(spark, name, SF))
+        if got != want:
+            drifted[name] = (want, got)
+    assert not drifted, (
+        f"{len(drifted)} plan(s) drifted: {sorted(drifted)}; first diff: "
+        f"{next(iter(drifted.items()))}"
+    )
+
+
 def test_snapshot_as_of_read_is_plain_pruned_scan(spark):
     """q_snapshot_read: each as-of read must be an ordinary parquet scan
     of the immutable snapshot dir feeding a partial+final aggregate — no
