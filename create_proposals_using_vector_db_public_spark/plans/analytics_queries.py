@@ -397,7 +397,7 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -450,7 +450,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_ORACLE = """
 SELECT c.c_nationkey,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS total
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey

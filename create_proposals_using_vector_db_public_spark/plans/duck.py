@@ -67,6 +67,27 @@ def d_words(col: str = "text") -> str:
     )
 
 
+def d_hashed_bucket(a: str, band: int, n_planes: int = 6) -> str:
+    """Mirror of ``operators.dedup.hashed_hyperplane_bucket``: sign bits
+    of ``n_planes`` pseudo-random-hyperplane projections for LSH band
+    ``band``. The ±1 pattern per (global plane p, element i) is the LCG
+    bit ``(i*1103515245 + p*12345) // 65536 % 2`` — pure int64
+    arithmetic, identical in both engines; the projection reduces
+    sequentially so the float sign is bit-identical."""
+    signs = []
+    for j in range(n_planes):
+        p = band * n_planes + j
+        term = (
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip({a}, range(0, len({a}))), "
+            f"z -> CASE WHEN (z[2] * 1103515245 + {p} * 12345) "
+            f"// 65536 % 2 = 0 THEN z[1] ELSE -z[1] END)), "
+            f"(acc, x) -> acc + x)"
+        )
+        signs.append(f"CASE WHEN {term} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(signs) + ")"
+
+
 def d_normalize(a: str) -> str:
     """Mirror of ``functions.vectors.normalize``: x / sqrt(sequential
     dot), zero vectors pass through unchanged."""

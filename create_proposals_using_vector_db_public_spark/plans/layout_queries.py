@@ -253,7 +253,7 @@ _SALT = 8
 _SALTED_JOIN_ORACLE = """
 SELECT c_nationkey,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
@@ -291,9 +291,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_nationkey").agg(
         F.count("*").alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 6
-        ).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
     )
 
 

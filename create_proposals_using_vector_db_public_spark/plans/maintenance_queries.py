@@ -112,8 +112,8 @@ WITH z AS (
   WHERE zmin <= TIMESTAMP '{_ZONE_HI}'
     AND zmax >= TIMESTAMP '{_ZONE_LO}'
 ), rev AS (
-  SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+  SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
          CAST(count(*) AS BIGINT) AS n_rows
   FROM lineitem
   WHERE year(l_shipdate) * 12 + month(l_shipdate) - 1
@@ -322,7 +322,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVM_ORACLE = """
 SELECT c.c_nationkey AS nationkey,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
@@ -364,7 +364,7 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = view.unionByName(t)
     return view.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("p").cast("double"), 6).alias("total_price"),
+        F.sum("p").cast("double").alias("total_price"),
     )
 
 

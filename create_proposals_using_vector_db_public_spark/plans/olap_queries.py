@@ -182,7 +182,7 @@ WITH threshold AS (
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2)
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
          AS total_bal
 FROM customer c, threshold t
 WHERE c.c_acctbal > t.avg_bal
@@ -414,7 +414,7 @@ WITH nat_rev AS (
   GROUP BY n.n_name, n.n_regionkey
 )
 SELECT r.r_name, nr.n_name,
-       round(CAST(nr.rev AS DOUBLE), 6) AS revenue,
+       CAST(nr.rev AS DOUBLE) AS revenue,
        CAST(rank() OVER (
          PARTITION BY r.r_name ORDER BY nr.rev DESC, nr.n_name ASC
        ) AS INTEGER) AS rk
@@ -460,7 +460,7 @@ WITH monthly AS (
   FROM orders GROUP BY order_month
 )
 SELECT order_month,
-       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       CAST(rev AS DOUBLE) AS revenue,
        round(CAST(rev AS DOUBLE)
              / CAST(lag(rev, 1) OVER (ORDER BY order_month) AS DOUBLE),
              6) AS mom_ratio,
@@ -488,7 +488,7 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_d = F.col("rev").cast("double")
     return monthly.select(
         "order_month",
-        F.round(rev_d, 2).alias("revenue"),
+        rev_d.alias("revenue"),
         F.round(rev_d / F.lag("rev", 1).over(w).cast("double"), 6).alias(
             "mom_ratio"
         ),
@@ -511,7 +511,7 @@ WITH nat AS (
   GROUP BY r.r_name, n.n_name
 )
 SELECT r_name, n_name,
-       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       CAST(rev AS DOUBLE) AS revenue,
        round(CAST(rev AS DOUBLE)
              / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE),
              6) AS share_of_region,
@@ -551,7 +551,7 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.select(
         "r_name",
         "n_name",
-        F.round(rev_d, 2).alias("revenue"),
+        rev_d.alias("revenue"),
         F.round(rev_d / region_d, 6).alias("share_of_region"),
         F.round(region_d / total_d, 6).alias("region_share_of_total"),
     )

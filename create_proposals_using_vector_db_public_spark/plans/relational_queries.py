@@ -150,7 +150,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_SHUFFLE_ORACLE = """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS total_spend
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -267,17 +267,29 @@ def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fails at sf>=0.1. DECIMAL(14,2) casts are lossless for the 2dp columns;
 # the per-row double products (exactly <=6dp values) cast losslessly to
 # DECIMAL(18,6). Averages derive from the same exact sums.
+#
+# The exact decimal sum is emitted as a BARE double cast, never
+# round(cast(sum), d): decimal->double conversion is nearest-even on both
+# engines (identical bits from identical sums at ANY magnitude), while a
+# post-round multiplies by 10^d first — once |sum|*10^d exceeds 2^53 the
+# two engines' round() implementations disagree in the last ulp (Spark
+# goes through BigDecimal of the shortest repr, DuckDB through scaled
+# float arithmetic). Measured at sf1: TPC-H Q1 sum_charge ~2.8e10 diverged
+# by 4 micro-units ONLY in the rounded form. Below 2^53/10^d the round is
+# a no-op on these on-grid values, so dropping it changes nothing at
+# small SF and fixes every larger one. round(...) stays correct for
+# magnitude-bounded outputs (averages, ratios, per-entity sums).
 _AGG_BASIC_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
          AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
          AS sum_base_price,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE), 6)
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE)
          AS sum_disc_price,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(18,6))) AS DOUBLE), 6)
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))) AS DOUBLE)
          AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
              / count(*), 6) AS avg_qty,
@@ -312,10 +324,10 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 + F.col("l_tax"))
     ).cast("decimal(18,6)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(dqty).cast("double"), 6).alias("sum_qty"),
-        F.round(F.sum(dprice).cast("double"), 6).alias("sum_base_price"),
-        F.round(F.sum(disc_price).cast("double"), 6).alias("sum_disc_price"),
-        F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+        F.sum(dqty).cast("double").alias("sum_qty"),
+        F.sum(dprice).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
         F.round(F.sum(dqty).cast("double") / F.count("*"), 6).alias("avg_qty"),
         F.round(F.sum(dprice).cast("double") / F.count("*"), 6).alias(
             "avg_price"
@@ -541,7 +553,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATE_AGG_ORACLE = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS month_total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1994-01-01'
@@ -708,11 +720,11 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_ORACLE = """
 WITH base AS (
   SELECT l_returnflag,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 6)
+         CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
            AS sum_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
            AS sum_price,
-         round(CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE), 6)
+         CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE)
            AS sum_disc
   FROM lineitem
   GROUP BY l_returnflag
@@ -734,18 +746,14 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same answer."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double"), 6
-        ).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double").alias("sum_qty"),
         F.round(
             F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast(
                 "double"
             ),
             6,
         ).alias("sum_price"),
-        F.round(
-            F.sum(F.col("l_discount").cast("decimal(14,2)")).cast("double"), 6
-        ).alias("sum_disc"),
+        F.sum(F.col("l_discount").cast("decimal(14,2)")).cast("double").alias("sum_disc"),
     )
     return base.unpivot(
         ids=["l_returnflag"],
@@ -759,7 +767,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
          AS sum_qty
 FROM {tbl}
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -822,8 +830,8 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MULTIWAY_ORACLE = """
 SELECT n.n_name,
-       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey

@@ -60,7 +60,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("k").agg(
         F.sum("c").alias("cnt"),
-        F.round(F.sum("sq"), 6).alias("sum_qty"),
+        F.sum("sq").alias("sum_qty"),
     )
 
 
@@ -157,7 +157,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PART_SINK_ORACLE = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
          AS total_value
 FROM events
 WHERE event_type IN ('click', 'purchase')
@@ -193,9 +193,7 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
-        ).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
     )
 
 
@@ -204,7 +202,7 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_AGG_ORACLE = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS month_total
 FROM orders
 GROUP BY 1
@@ -241,7 +239,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = state.unionByName(delta)
     return merged.groupBy("order_month").agg(
         F.sum("cnt").alias("order_cnt"),
-        F.round(F.sum("total").cast("double"), 6).alias("month_total"),
+        F.sum("total").cast("double").alias("month_total"),
     )
 
 

@@ -123,7 +123,7 @@ WITH buckets AS (
 )
 SELECT window_start_s, event_type,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
          AS total_value
 FROM buckets
 GROUP BY 1, 2
@@ -144,9 +144,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts_t", "12 hours", "6 hours"), "event_type"
     ).agg(
         F.count("*").alias("cnt"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
-        ).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
     )
     out = available_now_to_memory(agg, output_mode="complete")
     return out.select(
@@ -209,7 +207,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_JOIN_ORACLE = """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE)
          AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
@@ -241,9 +239,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
     agg = joined.groupBy("n_name").agg(
         F.count("*").alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 6
-        ).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
     )
     return available_now_to_memory(agg, output_mode="complete")
 

@@ -342,7 +342,7 @@ _TIME_ROLLUP_ORACLE = """
 SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS order_year,
        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
          AS revenue,
        CAST(grouping(date_trunc('year', o_orderdate))
             + 2 * grouping(date_trunc('month', o_orderdate)) AS BIGINT)
