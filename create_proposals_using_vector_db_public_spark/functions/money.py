@@ -19,3 +19,19 @@ def revenue_decimal() -> Column:
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )
+
+
+def money_double(s: Column) -> Column:
+    """Exact decimal aggregate → double, deterministically identical
+    across engines at ANY magnitude. A direct decimal→double cast
+    diverges once the unscaled value exceeds 2^53: DuckDB computes
+    double(unscaled)/10^scale (loses low bits in the numerator), Spark
+    rounds the true value via BigDecimal — measured 4-microunit drift on
+    TPC-H Q1 sum_charge (~2.8e10) at sf1. Casting floor and fraction
+    SEPARATELY makes each conversion exact at its own scale (scale-0
+    integer; sub-1 fraction), and the single IEEE add then yields the
+    same bits on both engines. Below 2^53 the result equals the
+    correctly-rounded direct cast, so small-SF values are unchanged.
+    SQL mirror: plans.duck.d_money_double."""
+    f = F.floor(s)
+    return f.cast("double") + (s - f).cast("double")

@@ -17,6 +17,7 @@ from ..functions import text as T
 from ..functions.hashing import d_h64, h64
 from ..sources import load_table
 from .duck import d_words
+from ..functions.money import money_double
 from .registry import query
 
 _WORDS = d_words()
@@ -397,7 +398,7 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -409,10 +410,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("cnt"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"),
-            6,
-        ).alias("total"),
+        money_double(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total"),
     )
 
 
@@ -450,7 +448,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_ORACLE = """
 SELECT c.c_nationkey,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS total
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
@@ -493,10 +491,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
     return joined.groupBy("c_nationkey").agg(
         F.count("*").alias("order_cnt"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"),
-            6,
-        ).alias("total"),
+        money_double(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total"),
     )
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import revenue_decimal as _rev
+from ..functions.money import money_double, revenue_decimal as _rev
 from ..sources import load_table
 from .registry import query
 
@@ -37,8 +37,10 @@ from .registry import query
 
 _SHIP_PRIORITY_ORACLE = """
 SELECT l.l_orderkey,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       (CAST(floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) - floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE)) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -99,8 +101,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FORECAST_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-                  AS DOUBLE) AS revenue_delta
+       (CAST(floor(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) - floor(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))) AS DOUBLE)) AS revenue_delta
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -132,14 +133,11 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(
+            money_double(F.sum(
                     (F.col("l_extendedprice") * F.col("l_discount")).cast(
                         "decimal(18,6)"
                     )
-                ).cast("double"),
-                6,
-            ).alias("revenue_delta"),
+                )).alias("revenue_delta"),
         )
     )
 
@@ -149,8 +147,10 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NATION_VOLUME_ORACLE = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        strftime(l.l_shipdate, '%Y') AS l_year,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       (CAST(floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) - floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE)) AS revenue
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -209,7 +209,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.date_format("l_shipdate", "yyyy").alias("l_year"),
         )
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(money_double(F.sum(_rev())).alias("revenue"))
     )
 
 
@@ -217,10 +217,16 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRODUCT_PROFIT_ORACLE = """
 SELECT sn.n_name AS nation, strftime(o.o_orderdate, '%Y') AS o_year,
-       CAST(sum(
+       (CAST(floor(sum(
          CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
          - CAST(0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))
-       ) AS DOUBLE) AS sum_profit
+       )) AS DOUBLE) + CAST(sum(
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+         - CAST(0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))
+       ) - floor(sum(
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+         - CAST(0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))
+       )) AS DOUBLE)) AS sum_profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -265,7 +271,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation", F.date_format("o_orderdate", "yyyy").alias("o_year")
         )
         .agg(
-            F.sum(_rev() - cost).cast("double").alias("sum_profit")
+            money_double(F.sum(_rev() - cost)).alias("sum_profit")
         )
     )
 
@@ -274,8 +280,10 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETURNED_ITEMS_ORACLE = """
 SELECT c.c_custkey, c.c_name,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       (CAST(floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) - floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE)) AS revenue,
        round(CAST(CAST(c.c_acctbal AS DECIMAL(14,2)) AS DOUBLE), 2)
          AS c_acctbal,
        n.n_name
@@ -475,8 +483,10 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISJUNCT_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       (CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) - floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE)) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
        AND l.l_quantity BETWEEN 1 AND 15)
@@ -523,7 +533,7 @@ def q_disjunct_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(branch)
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(_rev()).cast("double").alias("revenue"),
+            money_double(F.sum(_rev())).alias("revenue"),
         )
     )
 

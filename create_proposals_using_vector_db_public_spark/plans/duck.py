@@ -67,6 +67,17 @@ def d_words(col: str = "text") -> str:
     )
 
 
+def d_money_double(x: str) -> str:
+    """Mirror of ``functions.money.money_double``: exact decimal
+    aggregate → double via separately-cast floor and fraction (each cast
+    exact at its own scale) + one IEEE add — identical bits on both
+    engines at any magnitude, unlike a direct decimal→double cast (see
+    money_double's docstring for the 2^53 divergence)."""
+    return (
+        f"(CAST(floor({x}) AS DOUBLE) + CAST({x} - floor({x}) AS DOUBLE))"
+    )
+
+
 def d_hashed_bucket(a: str, band: int, n_planes: int = 6) -> str:
     """Mirror of ``operators.dedup.hashed_hyperplane_bucket``: sign bits
     of ``n_planes`` pseudo-random-hyperplane projections for LSH band

@@ -33,6 +33,7 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..sources import load_table
 from .duck import d_words
+from ..functions.money import money_double
 from .registry import query
 
 _WORDS = d_words()
@@ -200,8 +201,7 @@ WITH tok AS (
 )
 SELECT tok.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(sum(CASE WHEN tf * {_RARE_MULT} < total THEN 1 ELSE 0 END)
-                  AS DOUBLE) / count(*), 6) + 0.0 AS rare_frac,
+       round((CAST(floor(sum(CASE WHEN tf * {_RARE_MULT} < total THEN 1 ELSE 0 END)) AS DOUBLE) + CAST(sum(CASE WHEN tf * {_RARE_MULT} < total THEN 1 ELSE 0 END) - floor(sum(CASE WHEN tf * {_RARE_MULT} < total THEN 1 ELSE 0 END)) AS DOUBLE)) / count(*), 6) + 0.0 AS rare_frac,
        round(sum(total * 1000000 // tf) / (1000000.0 * count(*)), 6) + 0.0
          AS mean_itf
 FROM tok JOIN tf USING (term) CROSS JOIN tot
@@ -253,7 +253,7 @@ _SALT = 8
 _SALTED_JOIN_ORACLE = """
 SELECT c_nationkey,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
@@ -291,7 +291,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_nationkey").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+        money_double(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total_price"),
     )
 
 

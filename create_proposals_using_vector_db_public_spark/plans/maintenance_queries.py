@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import revenue_decimal
+from ..functions.money import money_double, revenue_decimal
 from ..sources import load_table
 from .registry import query
 
@@ -112,8 +112,10 @@ WITH z AS (
   WHERE zmin <= TIMESTAMP '{_ZONE_HI}'
     AND zmax >= TIMESTAMP '{_ZONE_LO}'
 ), rev AS (
-  SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  SELECT (CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) - floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6)))) AS DOUBLE)) AS revenue,
          CAST(count(*) AS BIGINT) AS n_rows
   FROM lineitem
   WHERE year(l_shipdate) * 12 + month(l_shipdate) - 1
@@ -160,10 +162,7 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ZONE_LO) & (F.col("l_shipdate") <= _ZONE_HI)
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(
-            F.sum(revenue_decimal()).cast("double"),
-            6,
-        ).alias("revenue"),
+        money_double(F.sum(revenue_decimal())).alias("revenue"),
     )
     counts = z.agg(F.count(F.lit(1)).alias("n_zones")).crossJoin(
         kept.agg(F.count(F.lit(1)).alias("n_zones_scanned"))
@@ -322,7 +321,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVM_ORACLE = """
 SELECT c.c_nationkey AS nationkey,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
@@ -364,7 +363,7 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = view.unionByName(t)
     return view.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("p").cast("double").alias("total_price"),
+        money_double(F.sum("p")).alias("total_price"),
     )
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import revenue_decimal as _rev
+from ..functions.money import money_double, revenue_decimal as _rev
 from ..sources import load_table
 from .registry import query
 
@@ -177,12 +177,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NO_ORDERS_ORACLE = """
 WITH threshold AS (
-  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+  SELECT (CAST(floor(sum(CAST(c_acctbal AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) - floor(sum(CAST(c_acctbal AS DECIMAL(14,2)))) AS DOUBLE)) / count(*)
            AS avg_bal
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(c.c_acctbal AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) - floor(sum(CAST(c.c_acctbal AS DECIMAL(14,2)))) AS DOUBLE))
          AS total_bal
 FROM customer c, threshold t
 WHERE c.c_acctbal > t.avg_bal
@@ -211,7 +211,7 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     thr = c.filter(F.col("c_acctbal") > 0.0).agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+            money_double(F.sum(F.col("c_acctbal").cast("decimal(14,2)")))
             / F.count("*")
         ).alias("avg_bal")
     )
@@ -230,10 +230,7 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double"),
-                2,
-            ).alias("total_bal"),
+            money_double(F.sum(F.col("c_acctbal").cast("decimal(14,2)"))).alias("total_bal"),
         )
     )
 
@@ -243,11 +240,17 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMO_SHARE_ORACLE = """
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
        round(
-         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         100.0 * (CAST(floor(sum(CASE WHEN p_type = 'PROMO'
                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE),
+               ELSE CAST(0 AS DECIMAL(18,6)) END)) AS DOUBLE) + CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) - floor(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END)) AS DOUBLE))
+         / (CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) - floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6)))) AS DOUBLE)),
          6) AS promo_share
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -276,10 +279,10 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(
+                * money_double(F.sum(
                     F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
-                ).cast("double")
-                / F.sum(_rev()).cast("double"),
+                ))
+                / money_double(F.sum(_rev())),
                 6,
             ).alias("promo_share")
         )
@@ -331,9 +334,11 @@ def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKET_SHARE_ORACLE = """
 SELECT order_year,
-       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
-                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+       round((CAST(floor(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)) AS DOUBLE) + CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) - floor(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)) AS DOUBLE))
+             / (CAST(floor(sum(rev)) AS DOUBLE) + CAST(sum(rev) - floor(sum(rev)) AS DOUBLE)), 6) AS mkt_share
 FROM (
   SELECT strftime(o.o_orderdate, '%Y') AS order_year,
          sn.n_name AS supp_nation,
@@ -389,12 +394,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_year")
         .agg(
             F.round(
-                F.sum(
+                money_double(F.sum(
                     F.when(
                         F.col("supp_nation") == "NATION_1", F.col("rev")
                     ).otherwise(zero)
-                ).cast("double")
-                / F.sum("rev").cast("double"),
+                ))
+                / money_double(F.sum("rev")),
                 6,
             ).alias("mkt_share")
         )
@@ -414,7 +419,7 @@ WITH nat_rev AS (
   GROUP BY n.n_name, n.n_regionkey
 )
 SELECT r.r_name, nr.n_name,
-       CAST(nr.rev AS DOUBLE) AS revenue,
+       (CAST(floor(nr.rev) AS DOUBLE) + CAST(nr.rev - floor(nr.rev) AS DOUBLE)) AS revenue,
        CAST(rank() OVER (
          PARTITION BY r.r_name ORDER BY nr.rev DESC, nr.n_name ASC
        ) AS INTEGER) AS rk
@@ -460,12 +465,12 @@ WITH monthly AS (
   FROM orders GROUP BY order_month
 )
 SELECT order_month,
-       CAST(rev AS DOUBLE) AS revenue,
-       round(CAST(rev AS DOUBLE)
-             / CAST(lag(rev, 1) OVER (ORDER BY order_month) AS DOUBLE),
+       (CAST(floor(rev) AS DOUBLE) + CAST(rev - floor(rev) AS DOUBLE)) AS revenue,
+       round((CAST(floor(rev) AS DOUBLE) + CAST(rev - floor(rev) AS DOUBLE))
+             / (CAST(floor(lag(rev, 1) OVER (ORDER BY order_month)) AS DOUBLE) + CAST(lag(rev, 1) OVER (ORDER BY order_month) - floor(lag(rev, 1) OVER (ORDER BY order_month)) AS DOUBLE)),
              6) AS mom_ratio,
-       round(CAST(rev AS DOUBLE)
-             / CAST(lag(rev, 12) OVER (ORDER BY order_month) AS DOUBLE),
+       round((CAST(floor(rev) AS DOUBLE) + CAST(rev - floor(rev) AS DOUBLE))
+             / (CAST(floor(lag(rev, 12) OVER (ORDER BY order_month)) AS DOUBLE) + CAST(lag(rev, 12) OVER (ORDER BY order_month) - floor(lag(rev, 12) OVER (ORDER BY order_month)) AS DOUBLE)),
              6) AS yoy_ratio
 FROM monthly
 """
@@ -485,14 +490,14 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
     w = Window.orderBy("order_month")
-    rev_d = F.col("rev").cast("double")
+    rev_d = money_double(F.col("rev"))
     return monthly.select(
         "order_month",
         rev_d.alias("revenue"),
-        F.round(rev_d / F.lag("rev", 1).over(w).cast("double"), 6).alias(
+        F.round(rev_d / money_double(F.lag("rev", 1).over(w)), 6).alias(
             "mom_ratio"
         ),
-        F.round(rev_d / F.lag("rev", 12).over(w).cast("double"), 6).alias(
+        F.round(rev_d / money_double(F.lag("rev", 12).over(w)), 6).alias(
             "yoy_ratio"
         ),
     )
@@ -511,12 +516,12 @@ WITH nat AS (
   GROUP BY r.r_name, n.n_name
 )
 SELECT r_name, n_name,
-       CAST(rev AS DOUBLE) AS revenue,
-       round(CAST(rev AS DOUBLE)
-             / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+       (CAST(floor(rev) AS DOUBLE) + CAST(rev - floor(rev) AS DOUBLE)) AS revenue,
+       round((CAST(floor(rev) AS DOUBLE) + CAST(rev - floor(rev) AS DOUBLE))
+             / (CAST(floor(sum(rev) OVER (PARTITION BY r_name)) AS DOUBLE) + CAST(sum(rev) OVER (PARTITION BY r_name) - floor(sum(rev) OVER (PARTITION BY r_name)) AS DOUBLE)),
              6) AS share_of_region,
-       round(CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
-             / CAST(sum(rev) OVER () AS DOUBLE),
+       round((CAST(floor(sum(rev) OVER (PARTITION BY r_name)) AS DOUBLE) + CAST(sum(rev) OVER (PARTITION BY r_name) - floor(sum(rev) OVER (PARTITION BY r_name)) AS DOUBLE))
+             / (CAST(floor(sum(rev) OVER ()) AS DOUBLE) + CAST(sum(rev) OVER () - floor(sum(rev) OVER ()) AS DOUBLE)),
              6) AS region_share_of_total
 FROM nat
 """
@@ -545,9 +550,9 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_region = Window.partitionBy("r_name")
     overall = Window.partitionBy()
-    rev_d = F.col("rev").cast("double")
-    region_d = F.sum("rev").over(by_region).cast("double")
-    total_d = F.sum("rev").over(overall).cast("double")
+    rev_d = money_double(F.col("rev"))
+    region_d = money_double(F.sum("rev").over(by_region))
+    total_d = money_double(F.sum("rev").over(overall))
     return nat.select(
         "r_name",
         "n_name",

@@ -321,7 +321,7 @@ SELECT p.p_partkey, p.p_brand,
        round(p.p_retailprice, 6) AS retail
 FROM {tbl} p
 WHERE p.p_retailprice > 1.01 * (
-  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+  SELECT (CAST(floor(sum(CAST(p2.p_retailprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(p2.p_retailprice AS DECIMAL(14,2))) - floor(sum(CAST(p2.p_retailprice AS DECIMAL(14,2)))) AS DOUBLE))
          / count(*)
   FROM {tbl} p2
   WHERE p2.p_brand = p.p_brand
@@ -522,7 +522,7 @@ WITH cents0 AS (
   FROM assign0
 ), comp AS (
   SELECT centroid_id, pos,
-         round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+         round((CAST(floor(sum(CAST(val AS DECIMAL(27,10)))) AS DOUBLE) + CAST(sum(CAST(val AS DECIMAL(27,10))) - floor(sum(CAST(val AS DECIMAL(27,10)))) AS DOUBLE)) / count(*), 6)
            AS mean
   FROM parts GROUP BY centroid_id, pos
 ), cents1 AS (

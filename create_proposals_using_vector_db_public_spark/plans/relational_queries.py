@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.money import revenue_decimal
+from ..functions.money import money_double, revenue_decimal
 from ..sources import load_table
 from .registry import query
 
@@ -150,7 +150,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_SHUFFLE_ORACLE = """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS total_spend
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -176,10 +176,8 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(
+            money_double(
                 F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-                .cast("double"),
-                6,
             ).alias("total_spend"),
         )
     )
@@ -230,8 +228,7 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OUTER_ORACLE = """
 SELECT c.c_custkey,
        CAST(count(o.o_orderkey) AS BIGINT) AS order_cnt,
-       round(coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))
-                           AS DOUBLE), 0.0), 6) AS total_spend
+       round(coalesce((CAST(floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o.o_totalprice AS DECIMAL(14,2)))) AS DOUBLE)), 0.0), 6) AS total_spend
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
@@ -281,21 +278,25 @@ def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # magnitude-bounded outputs (averages, ratios, per-entity sums).
 _AGG_BASIC_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) - floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE))
          AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) - floor(sum(CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE)
+       (CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) - floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE))
          AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(18,6))) AS DOUBLE)
+       (CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))) - floor(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6)))) AS DOUBLE))
          AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+       round((CAST(floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) - floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE))
              / count(*), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+       round((CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) - floor(sum(CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE))
              / count(*), 6) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE)
+       round((CAST(floor(sum(CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_discount AS DECIMAL(14,2))) - floor(sum(CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE))
              / count(*), 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -324,15 +325,15 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 + F.col("l_tax"))
     ).cast("decimal(18,6)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dqty).cast("double").alias("sum_qty"),
-        F.sum(dprice).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        F.round(F.sum(dqty).cast("double") / F.count("*"), 6).alias("avg_qty"),
-        F.round(F.sum(dprice).cast("double") / F.count("*"), 6).alias(
+        money_double(F.sum(dqty)).alias("sum_qty"),
+        money_double(F.sum(dprice)).alias("sum_base_price"),
+        money_double(F.sum(disc_price)).alias("sum_disc_price"),
+        money_double(F.sum(charge)).alias("sum_charge"),
+        F.round(money_double(F.sum(dqty)) / F.count("*"), 6).alias("avg_qty"),
+        F.round(money_double(F.sum(dprice)) / F.count("*"), 6).alias(
             "avg_price"
         ),
-        F.round(F.sum(ddisc).cast("double") / F.count("*"), 6).alias(
+        F.round(money_double(F.sum(ddisc)) / F.count("*"), 6).alias(
             "avg_disc"
         ),
         F.count("*").alias("count_order"),
@@ -553,7 +554,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATE_AGG_ORACLE = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS month_total
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1994-01-01'
@@ -580,10 +581,8 @@ def q_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(
+            money_double(
                 F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-                .cast("double"),
-                6,
             ).alias("month_total"),
         )
     )
@@ -720,11 +719,11 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_ORACLE = """
 WITH base AS (
   SELECT l_returnflag,
-         CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+         (CAST(floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) - floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE))
            AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+         (CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) - floor(sum(CAST(l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE))
            AS sum_price,
-         CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE)
+         (CAST(floor(sum(CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_discount AS DECIMAL(14,2))) - floor(sum(CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE))
            AS sum_disc
   FROM lineitem
   GROUP BY l_returnflag
@@ -746,14 +745,11 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same answer."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double").alias("sum_qty"),
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast(
-                "double"
-            ),
-            6,
+        money_double(F.sum(F.col("l_quantity").cast("decimal(14,2)"))).alias("sum_qty"),
+        money_double(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
         ).alias("sum_price"),
-        F.sum(F.col("l_discount").cast("decimal(14,2)")).cast("double").alias("sum_disc"),
+        money_double(F.sum(F.col("l_discount").cast("decimal(14,2)"))).alias("sum_disc"),
     )
     return base.unpivot(
         ids=["l_returnflag"],
@@ -767,7 +763,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) - floor(sum(CAST(l_quantity AS DECIMAL(14,2)))) AS DOUBLE))
          AS sum_qty
 FROM {tbl}
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -830,8 +826,10 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MULTIWAY_ORACLE = """
 SELECT n.n_name,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       (CAST(floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) - floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6)))) AS DOUBLE)) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -884,10 +882,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (facts.c_nationkey == dims.s_nationkey),
     )
     return j.groupBy("n_name").agg(
-        F.round(
-            F.sum(revenue_decimal()).cast("double"),
-            6,
-        ).alias("revenue"),
+        money_double(F.sum(revenue_decimal())).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

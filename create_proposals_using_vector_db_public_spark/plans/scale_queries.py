@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import d_h64, h64
 from ..functions import vectors as V
+from ..functions.money import money_double
 from ..sources import load_table
 from .duck import dd
 from .registry import query
@@ -157,7 +158,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PART_SINK_ORACLE = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(value AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(value AS DECIMAL(14,2))) - floor(sum(CAST(value AS DECIMAL(14,2)))) AS DOUBLE))
          AS total_value
 FROM events
 WHERE event_type IN ('click', 'purchase')
@@ -193,7 +194,7 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        money_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias("total_value"),
     )
 
 
@@ -202,7 +203,7 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_AGG_ORACLE = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS month_total
 FROM orders
 GROUP BY 1
@@ -239,7 +240,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = state.unionByName(delta)
     return merged.groupBy("order_month").agg(
         F.sum("cnt").alias("order_cnt"),
-        F.sum("total").cast("double").alias("month_total"),
+        money_double(F.sum("total")).alias("month_total"),
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+from ..functions.money import money_double
 from ..sources.tables import load_events
 from ..streaming import available_now_to_memory, stream_parquet, watermark_dedup
 from .registry import query
@@ -123,7 +124,7 @@ WITH buckets AS (
 )
 SELECT window_start_s, event_type,
        CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(value AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(value AS DECIMAL(14,2))) - floor(sum(CAST(value AS DECIMAL(14,2)))) AS DOUBLE))
          AS total_value
 FROM buckets
 GROUP BY 1, 2
@@ -144,7 +145,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts_t", "12 hours", "6 hours"), "event_type"
     ).agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        money_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias("total_value"),
     )
     out = available_now_to_memory(agg, output_mode="complete")
     return out.select(
@@ -207,7 +208,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_JOIN_ORACLE = """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(e.value AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(e.value AS DECIMAL(14,2))) - floor(sum(CAST(e.value AS DECIMAL(14,2)))) AS DOUBLE))
          AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
@@ -239,7 +240,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
     agg = joined.groupBy("n_name").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        money_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias("total_value"),
     )
     return available_now_to_memory(agg, output_mode="complete")
 

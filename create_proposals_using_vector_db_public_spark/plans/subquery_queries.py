@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import money_double
 from ..sources import load_table
 from .registry import query
 
@@ -70,13 +71,13 @@ def q_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summation order.
 _AVG_SUBQUERY_ORACLE = """
 SELECT p.p_brand,
-       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+       round((CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) - floor(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)))) AS DOUBLE))
              / 7.0, 6) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand IN ('Brand#1', 'Brand#2')
   AND l.l_quantity < (
-    SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+    SELECT 0.5 * ((CAST(floor(sum(CAST(l2.l_quantity AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(l2.l_quantity AS DECIMAL(14,2))) - floor(sum(CAST(l2.l_quantity AS DECIMAL(14,2)))) AS DOUBLE))
                   / count(*))
     FROM lineitem l2
     WHERE l2.l_partkey = l.l_partkey
@@ -103,7 +104,7 @@ def q_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             0.5
             * (
-                F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double")
+                money_double(F.sum(F.col("l_quantity").cast("decimal(14,2)")))
                 / F.count("*")
             )
         ).alias("qty_threshold")
@@ -115,7 +116,7 @@ def q_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("p_brand").agg(
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+            money_double(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")))
             / 7.0,
             6,
         ).alias("avg_yearly")

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
+from ..functions.money import money_double
 from ..sources import load_table
 from .registry import query
 
@@ -342,7 +343,7 @@ _TIME_ROLLUP_ORACLE = """
 SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS order_year,
        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+       (CAST(floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE) + CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) - floor(sum(CAST(o_totalprice AS DECIMAL(14,2)))) AS DOUBLE))
          AS revenue,
        CAST(grouping(date_trunc('year', o_orderdate))
             + 2 * grouping(date_trunc('month', o_orderdate)) AS BIGINT)
@@ -370,11 +371,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("order_year", "order_month")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast(
-                    "double"
-                ),
-                6,
+            money_double(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
             ).alias("revenue"),
             (
                 F.grouping("order_year") + F.lit(2) * F.grouping("order_month")

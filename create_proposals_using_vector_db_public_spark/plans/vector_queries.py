@@ -397,7 +397,7 @@ _PQ_CORE_SQL = f"""sub AS ({_PQ_SUB_SQL}
   ) WHERE rn = 1
 ), comp AS (
   SELECT s, centroid_id, pos,
-         round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6)
+         round((CAST(floor(sum(CAST(val AS DECIMAL(27,10)))) AS DOUBLE) + CAST(sum(CAST(val AS DECIMAL(27,10))) - floor(sum(CAST(val AS DECIMAL(27,10)))) AS DOUBLE)) / count(*), 6)
            AS mean
   FROM (
     SELECT s, centroid_id,
@@ -422,7 +422,7 @@ _PQ_CORE_SQL = f"""sub AS ({_PQ_SUB_SQL}
          CAST(round({d_l2sq("c.cv", "q.qsub")}, 6) AS DECIMAL(18,6)) AS d2
   FROM cents c JOIN q USING (s)
 ), adist AS (
-  SELECT vec_id, round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS adist
+  SELECT vec_id, round(sqrt((CAST(floor(sum(d2)) AS DOUBLE) + CAST(sum(d2) - floor(sum(d2)) AS DOUBLE))), 6) AS adist
   FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.centroid_id
   GROUP BY vec_id
 )"""

@@ -41,8 +41,10 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
-ADJS = ["large", "hot", "blue", "red", "small", "dark", "light", "cold"]
-NOUNS = ["ring", "bolt", "case", "drum", "pipe", "wire", "disk", "gear"]
+# exactly the driver fixture's name vocabulary (sampled from sf0.1) so
+# name-predicate queries (e.g. q_product_profit's %widget%) stay non-vacuous
+ADJS = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 LANGS = np.array(["en", "zh", "es", "fr", "de"])
 LANG_P = [0.41, 0.15, 0.15, 0.145, 0.145]
