@@ -51,7 +51,10 @@ def knn(
     cos = V.cosine_sim(emb, q)
     if round_to is not None:
         dist = F.round(dist, round_to)
-        cos = F.round(cos, round_to)
+        # + 0.0 folds IEEE -0.0 (a tiny-negative cosine rounded to zero)
+        # into +0.0 — the engines disagree on which zero round() emits,
+        # and an exact value-hash distinguishes their reprs
+        cos = F.round(cos, round_to) + 0.0
     out = (
         df.withColumn("dist", dist)
         .withColumn("cosine", cos)

@@ -377,7 +377,7 @@ WITH q AS (
 ), scored AS (
   SELECT cell.vec_id, cell.label,
          round({d_l2(dd("cell.embedding"), "q.qv")}, 6) AS dist,
-         round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) AS cosine
+         (round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) + 0.0) AS cosine
   FROM cell, q
 )
 SELECT vec_id, label, dist, cosine,
@@ -550,7 +550,7 @@ WITH cents0 AS (
 ), scored AS (
   SELECT cell.vec_id, cell.label,
          round({d_l2(dd("cell.embedding"), "q.qv")}, 6) AS dist,
-         round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) AS cosine
+         (round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) + 0.0) AS cosine
   FROM cell, q
 )
 SELECT vec_id, label, dist, cosine,

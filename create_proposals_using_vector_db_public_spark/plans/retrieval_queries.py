@@ -215,7 +215,7 @@ def _mmr_sql(k: int) -> str:
     greedy chain."""
     cand = f"""cand AS (
   SELECT e.doc_id, e.emb,
-         round({d_cosine("e.emb", "q.qv")}, 6) AS rel
+         (round({d_cosine("e.emb", "q.qv")}, 6) + 0.0) AS rel
   FROM e, q
   ORDER BY rel DESC NULLS LAST, doc_id ASC LIMIT {_MMR_CAND}
 )"""
@@ -250,7 +250,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "emb",
-            F.round(V.cosine_sim(F.col("emb"), F.col("qv")), 6).alias("rel"),
+            (F.round(V.cosine_sim(F.col("emb"), F.col("qv")), 6) + 0.0)
+            .alias("rel"),
         )
         .orderBy(F.col("rel").desc_nulls_last(), F.col("doc_id").asc())
         .limit(_MMR_CAND)

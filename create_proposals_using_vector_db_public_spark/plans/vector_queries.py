@@ -40,7 +40,7 @@ WITH q AS (
 ), scored AS (
   SELECT e.vec_id, e.label,
          round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist,
-         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+         (round({d_cosine(dd("e.embedding"), "q.qv")}, 6) + 0.0) AS cosine
   FROM embeddings e, q
 )
 SELECT vec_id, label, dist, cosine,
@@ -63,7 +63,7 @@ WITH q AS (
 ), scored AS (
   SELECT e.vec_id, e.label,
          round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist,
-         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+         (round({d_cosine(dd("e.embedding"), "q.qv")}, 6) + 0.0) AS cosine
   FROM embeddings e, q
 )
 SELECT vec_id, label, dist, cosine,
@@ -125,7 +125,7 @@ WITH q AS (
 )
 SELECT e.vec_id,
        round({d_norm(dd("e.embedding"))}, 6) AS l2_norm,
-       round({d_dot(dd("e.embedding"), "q.qv")}, 6) AS dot_q
+       (round({d_dot(dd("e.embedding"), "q.qv")}, 6) + 0.0) AS dot_q
 FROM embeddings e, q
 """
 
@@ -140,7 +140,7 @@ def q_vec_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(V.l2_norm(e), 6).alias("l2_norm"),
-        F.round(V.dot(e, qv), 6).alias("dot_q"),
+        (F.round(V.dot(e, qv), 6) + 0.0).alias("dot_q"),
     )
 
 
@@ -202,7 +202,7 @@ WITH cents AS (
 ), scored AS (
   SELECT cell.vec_id, cell.label,
          round({d_l2(dd("cell.embedding"), "q.qv")}, 6) AS dist,
-         round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) AS cosine
+         (round({d_cosine(dd("cell.embedding"), "q.qv")}, 6) + 0.0) AS cosine
   FROM cell, q
 )
 SELECT vec_id, label, dist, cosine,
@@ -218,7 +218,7 @@ WITH q AS (
   SELECT {dd("embedding")} AS qv FROM embeddings WHERE vec_id = 42
 ), scored AS (
   SELECT e.vec_id, e.label,
-         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+         (round({d_cosine(dd("e.embedding"), "q.qv")}, 6) + 0.0) AS cosine
   FROM embeddings e, q
 )
 SELECT vec_id, label, cosine,
@@ -242,7 +242,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         "label",
-        F.round(V.cosine_sim(V.as_double_array("embedding"), qv), 6).alias(
+        (F.round(V.cosine_sim(V.as_double_array("embedding"), qv), 6) + 0.0).alias(
             "cosine"
         ),
     )
@@ -744,7 +744,7 @@ WITH v AS (
 ), scored AS (
   SELECT e.vec_id, e.label,
          round({d_l2(dd("e.embedding"), "q.qv")}, 6) AS dist,
-         round({d_cosine(dd("e.embedding"), "q.qv")}, 6) AS cosine
+         (round({d_cosine(dd("e.embedding"), "q.qv")}, 6) + 0.0) AS cosine
   FROM embeddings e JOIN cand USING (vec_id), q
 )
 SELECT vec_id, label, dist, cosine,
