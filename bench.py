@@ -87,13 +87,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    # Opt-in subset for big-SF scale runs (e.g. the sf10 family sweep where
+    # the by-construction-quadratic exact-kNN baselines would dominate the
+    # wall clock): comma-separated query names. Default — the driver's
+    # path — is the full headline list, unchanged.
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        requested = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in requested if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        headline = requested
     spark = get_spark("bench", shuffle_partitions=32)
     # Warm each query's codegen/JIT at the tiny SF first: whole-stage
     # codegen compiles per plan shape, and first-run JIT otherwise dominates
     # the measured time at local scale. Timings below are steady-state
     # compute at the target SF.
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in headline:
             try:
                 QUERIES[name](spark, warm_dir).count()
             except Exception:
@@ -103,9 +115,9 @@ def main() -> None:
     # multi-minute host-level contention episodes (parallel throughput
     # drops ~10x while single-core work is unaffected); min-of-two samples
     # two time windows and measures the engine, not the noisy neighbor.
-    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    passes: dict[str, list[float]] = {name: [] for name in headline}
     for _pass in range(2):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.time()
             n = QUERIES[name](spark, sf_dir).count()
             dt = time.time() - t0
