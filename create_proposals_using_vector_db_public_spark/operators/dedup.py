@@ -761,15 +761,31 @@ def semdedup_keep(
     O(sum c_i^2) over cluster sizes — bounded by choosing n_clusters
     proportional to corpus size (the paper's 11k clusters for 5B rows).
     Vectors cross the shuffle once per side; ids are the only distinct-ed
-    column.
+    column. The sides are repartitioned on the cluster key with an
+    EXPLICIT partition count (user repartitions are exempt from AQE
+    coalescing): the pair stage's shuffle input is small in BYTES
+    (n rows of vectors) but quadratic in COMPUTE, and AQE's byte-based
+    coalescing collapsed it to 1-2 partitions — measured at the sf10
+    proof as a 10-minute single-task straggler doing ~60M interpreted
+    array dots that spread back to seconds once pinned at the session's
+    shuffle parallelism.
     """
     from ..functions import vectors as V
 
+    shuffle_n = int(
+        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     base = assigned.select(
         F.col(id_col).alias("__id"),
         F.col(cluster_col).alias("__cl"),
         V.normalize(V.as_double_array(vec_col)).alias("__v"),
-    )
+    ).repartition(shuffle_n, "__cl")
+    # The assignment feeding `assigned` is typically n x k interpreted
+    # array-distance work (ivf_assign); without a checkpoint the
+    # self-join below recomputes it on BOTH sides. Lazy localCheckpoint
+    # materializes it once (n rows of one vector each) — measured at the
+    # sf10 proof; eager=False keeps plan-build free of jobs.
+    base = base.localCheckpoint(eager=False)
     right = base.select(
         F.col("__id").alias("__id_b"),
         F.col("__cl").alias("__cl_b"),

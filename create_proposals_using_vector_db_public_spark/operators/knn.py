@@ -31,6 +31,28 @@ from pyspark.sql.window import Window
 from ..functions import vectors as V
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's shuffle
+    parallelism when its plan has fewer partitions.
+
+    Vector operators are compute-dense but byte-light (k interpreted
+    array distances per row over a few-hundred-byte row), so their map
+    parallelism must not be inherited from the scan's byte-based split
+    count: a single-row-group parquet file — the fixture layout, and a
+    real layout for dimension-scale vector tables — plans as ONE input
+    task, measured at the sf10 proof as a multi-minute single-core
+    straggler. The guard only fires in that degenerate case (a 100 TB
+    corpus already has more splits than cores) and the shuffle it adds
+    moves each row once.
+    """
+    shuffle_n = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if df.rdd.getNumPartitions() < shuffle_n:
+        return df.repartition(shuffle_n)
+    return df
+
+
 def knn(
     df: DataFrame,
     query_vec: Sequence[float] | Column,
@@ -43,8 +65,11 @@ def knn(
 
     Returns the input columns (minus the raw vector) plus ``dist``,
     ``cosine`` and 1-based ``rank``. Ties broken by ``id_col`` so results
-    are deterministic for the oracle.
+    are deterministic for the oracle. The corpus goes through
+    :func:`ensure_parallelism` — the per-row distance expressions are
+    interpreted array work that must not serialize onto one scan split.
     """
+    df = ensure_parallelism(df)
     q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
     emb = V.as_double_array(vec_col)
     dist = V.l2_dist(emb, q)
@@ -89,7 +114,9 @@ def knn_join(
             V.as_double_array(query_vec_col).alias("__qv"),
         )
     )
-    c = corpus_df.select(
+    c = ensure_parallelism(
+        corpus_df.select(corpus_id_col, corpus_vec_col)
+    ).select(
         F.col(corpus_id_col), V.as_double_array(corpus_vec_col).alias("__cv")
     )
     joined = c.crossJoin(q).withColumn(
@@ -128,6 +155,12 @@ def ivf_assign(
     (this function's own output, fed back after a codebook update) has
     them dropped first — otherwise the cross join would raise
     AMBIGUOUS_REFERENCE on ``centroid_id``.
+
+    Parallelism: assignment is compute-dense (k interpreted array-L2s
+    per row) but byte-light, so the corpus goes through
+    :func:`ensure_parallelism` — without it a single-row-group parquet
+    scan runs all n x k distances in ONE task (the sf10 proof's
+    multi-minute straggler).
     """
     stale = [
         c for c in (centroid_id_col, "centroid_dist")
@@ -135,6 +168,7 @@ def ivf_assign(
     ]
     if stale:
         corpus_df = corpus_df.drop(*stale)
+    corpus_df = ensure_parallelism(corpus_df)
     cents = F.broadcast(
         centroids_df.select(
             F.col(centroid_id_col),
@@ -427,9 +461,15 @@ def pq_subvectors(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Slice each vector into ``n_sub`` contiguous ``sub_dim``-wide
-    subvectors → (id, s, sv) rows. Pure scan-side explode (no shuffle);
-    the subspace index ``s`` becomes the join/grouping key for all later
-    PQ stages, so every per-subspace step parallelizes across s."""
+    subvectors → (id, s, sv) rows. Scan-side explode (no shuffle in the
+    general case); the subspace index ``s`` becomes the join/grouping
+    key for all later PQ stages, so every per-subspace step parallelizes
+    across s. The input goes through :func:`ensure_parallelism` first —
+    every downstream PQ stage (codeword assignment is n x n_sub x k
+    interpreted sub-distances) pipelines into these output partitions,
+    so a single-split scan would otherwise serialize all of it.
+    """
+    df = ensure_parallelism(df)
     v = V.as_double_array(vec_col)
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),

@@ -208,17 +208,27 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near 0.49 with ~1% of pairs above 0.3, so 0.3 discriminates at every SF.
 # SemDeDup production values are 0.95+ on real (anisotropic) embedding
 # spaces; the knob is the operator parameter, the semantics are identical.
-# 32 centroids (the paper scales clusters with corpus size): pair work is
-# sum c_i^2, so 4x the clusters of the q_ann_ivf fixture codebook cuts the
-# sf0.1 pair stage ~4x (measured 18.7s -> ~2s with the normalized dot).
+# Centroid count scales with corpus size, exactly as the paper does (11k
+# clusters for 5B embeddings): pair work is sum c_i^2, so with a fixed
+# target cluster size the pair stage is linear in n. The floor of 32 is
+# the measured sf0.1 optimum (18.7s -> ~2s vs the q_ann_ivf 8-cluster
+# fixture); 625 = 20k/32, the sf1-verified cluster size, so every scale
+# factor up to sf1 keeps the exact centroid set it was verified with.
+# The sf1 -> sf10 proof forced this: at 200k vectors a fixed 32-key
+# codebook makes within-cluster pairs grow 100x (the same defect class
+# as the pre-fix q_dedup_embedding label blocks).
 _SEMDEDUP_TAU = 0.3
 _SEMDEDUP_NCENT = 32
+_SEMDEDUP_CSIZE = 625
 
 
 _SEMDEDUP_ORACLE = f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, {dd("embedding")} AS cv
-  FROM embeddings WHERE vec_id < {_SEMDEDUP_NCENT}
+  FROM embeddings
+  WHERE vec_id < (SELECT greatest({_SEMDEDUP_NCENT},
+                                  count(*) // {_SEMDEDUP_CSIZE})
+                  FROM embeddings)
 ), assign_scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          round({d_l2(dd("e.embedding"), "c.cv")}, 6) AS cdist
@@ -259,18 +269,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is ivf_assign (broadcast centroids, map-side
     argmin — n rows cross the wire, not n x k); the pairwise stage joins
     only WITHIN a cluster, so with c = corpus/n_centroids the work is
-    O(c^2) per cluster, bounded by choosing n_centroids proportional to
+    O(c^2) per cluster, bounded by choosing n_centroids PROPORTIONAL to
     corpus size exactly as the paper does (they use 11k clusters for 5B
-    embeddings). The fixture codebook is the deterministic first-32
-    vectors (the same stand-in device as q_ann_ivf's first-8;
-    q_ann_ivf_kmeans shows the trained path) — 32 because pair work is
-    sum c_i^2: measured 18.7s at sf0.1 with 8 clusters vs 4.3s with 32 +
-    the normalized single-dot pair stage (see semdedup_keep). The 32-key
-    cluster join is narrow only at fixture scale — production
-    n_centroids makes the key space wide; AQE skew-join handles the
-    residual (session.py enables it)."""
+    embeddings): ncent = max(32, n // 625), where 625 is the
+    sf1-verified cluster size and 32 the measured sf0.1 optimum (18.7s
+    with 8 clusters vs 4.3s with 32 + the normalized single-dot pair
+    stage, see semdedup_keep). The n is one parquet row-count job
+    (footer statistics, not a data scan) at plan-build time; the oracle
+    derives the same ncent with a scalar subquery, so both engines pick
+    identical centroid sets at every scale — and at every SF up to sf1
+    the formula floors at the exact 32-vector codebook all prior gates
+    verified. The codebook is the deterministic first-ncent vectors
+    (the same stand-in device as q_ann_ivf's first-8; q_ann_ivf_kmeans
+    shows the trained path). The cluster join key space widens with
+    corpus size by construction; AQE skew-join handles the residual
+    (session.py enables it)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _SEMDEDUP_NCENT).select(
+    ncent = max(_SEMDEDUP_NCENT, emb.count() // _SEMDEDUP_CSIZE)
+    cents = emb.filter(F.col("vec_id") < ncent).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )

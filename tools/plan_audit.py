@@ -40,8 +40,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_ann_ivf": {"nested_loop": "1-row query parameter cross join"},
     "q_semdedup": {
         "nested_loop": "broadcast centroid-assignment cross join "
-        "(ivf_assign, _SEMDEDUP_NCENT=32 centroids); the within-cluster "
-        "pair stage is a SortMergeJoin on the cluster key"
+        "(ivf_assign, ncent = max(32, n//625) scales with the corpus); "
+        "the within-cluster pair stage is a SortMergeJoin on the "
+        "cluster key"
     },
     "q_ann_ivf_kmeans": {"nested_loop": "1-row query parameter"},
     "q_rrf_fusion": {
