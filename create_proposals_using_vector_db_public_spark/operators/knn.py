@@ -60,6 +60,7 @@ def knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int | None = 6,
+    ensure: bool = True,
 ) -> DataFrame:
     """Exact top-k by L2 distance, with cosine reported (not ranked by).
 
@@ -67,9 +68,12 @@ def knn(
     ``cosine`` and 1-based ``rank``. Ties broken by ``id_col`` so results
     are deterministic for the oracle. The corpus goes through
     :func:`ensure_parallelism` — the per-row distance expressions are
-    interpreted array work that must not serialize onto one scan split.
+    interpreted array work that must not serialize onto one scan split;
+    pass ``ensure=False`` when the input is known-small (a rerank
+    candidate set) and the repartition would be pure overhead.
     """
-    df = ensure_parallelism(df)
+    if ensure:
+        df = ensure_parallelism(df)
     q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
     emb = V.as_double_array(vec_col)
     dist = V.l2_dist(emb, q)
@@ -139,6 +143,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     centroid_vec_col: str = "centroid_vec",
     centroid_id_col: str = "centroid_id",
+    ensure: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
@@ -160,7 +165,9 @@ def ivf_assign(
     per row) but byte-light, so the corpus goes through
     :func:`ensure_parallelism` — without it a single-row-group parquet
     scan runs all n x k distances in ONE task (the sf10 proof's
-    multi-minute straggler).
+    multi-minute straggler). Pass ``ensure=False`` when the caller
+    already guarded the corpus (:func:`kmeans_codebook` does it once
+    outside its Lloyd loop instead of once per iteration).
     """
     stale = [
         c for c in (centroid_id_col, "centroid_dist")
@@ -168,7 +175,8 @@ def ivf_assign(
     ]
     if stale:
         corpus_df = corpus_df.drop(*stale)
-    corpus_df = ensure_parallelism(corpus_df)
+    if ensure:
+        corpus_df = ensure_parallelism(corpus_df)
     cents = F.broadcast(
         centroids_df.select(
             F.col(centroid_id_col),
@@ -379,10 +387,14 @@ def kmeans_codebook(
         F.col(centroid_id_col),
         V.as_double_array(centroid_vec_col).alias(centroid_vec_col),
     )
-    corpus = corpus_df.select(id_col, vec_col)
+    # Guard the corpus ONCE outside the loop (the per-iteration form
+    # re-paid the plan probe and exchange every Lloyd round — measured
+    # 1.7x on q_ann_ivf_kmeans at sf0.1).
+    corpus = ensure_parallelism(corpus_df.select(id_col, vec_col))
     for _ in range(iters):
         assigned = ivf_assign(
-            corpus, cents, vec_col, id_col, centroid_vec_col, centroid_id_col
+            corpus, cents, vec_col, id_col, centroid_vec_col,
+            centroid_id_col, ensure=False,
         )
         updated = kmeans_update(assigned, vec_col, centroid_id_col).select(
             centroid_id_col, F.col("centroid_vec").alias(centroid_vec_col)

@@ -778,8 +778,10 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("vec_id") == _RERANK_QID)
         .select(F.col("codes").alias("qcodes"))
     )
+    # Guard the coarse scan (n int8-distance rows), NOT the 100-row
+    # exact stage below — knn(ensure=False) there; see ensure_parallelism.
     cand = (
-        base.crossJoin(F.broadcast(qcodes))
+        K.ensure_parallelism(base).crossJoin(F.broadcast(qcodes))
         .select("vec_id", _sq8_dist2().alias("d2"))
         .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
         .limit(_RERANK_CAND)
@@ -789,4 +791,5 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(cand), "vec_id"),
         _query_vec(spark, sf_dir, _RERANK_QID),
         k=10,
+        ensure=False,
     )
