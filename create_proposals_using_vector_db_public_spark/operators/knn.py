@@ -31,9 +31,20 @@ from pyspark.sql.window import Window
 from ..functions import vectors as V
 
 
+# Below this optimizer-estimated input size the parallelism guard is a
+# net loss: scheduling shuffle_n tasks per job costs ~0.1s while the
+# single-core interpreted-distance work on a sub-4MB vector table is of
+# the same order (measured: the always-on guard put 1.7x on
+# q_ann_ivf_kmeans's iterated jobs at driver sf0.1, 0.8MB of vectors,
+# while sf1's 5.3MB single-task assignment was already multi-second).
+_ENSURE_MIN_BYTES = 4 << 20
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's shuffle
-    parallelism when its plan has fewer partitions.
+    parallelism when its plan is both big enough for the shuffle to pay
+    for itself (optimizer size estimate >= 4MB) and has fewer
+    partitions.
 
     Vector operators are compute-dense but byte-light (k interpreted
     array distances per row over a few-hundred-byte row), so their map
@@ -45,6 +56,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     corpus already has more splits than cores) and the shuffle it adds
     moves each row once.
     """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size < _ENSURE_MIN_BYTES:
+            return df
+    except Exception:
+        pass  # stats unavailable -> fall through to the partition check
     shuffle_n = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -460,7 +479,11 @@ def ivf_search(
     )
     probe = probe_cells(centroids_df, q, n_probe, centroid_vec_col, centroid_id_col)
     cell = assigned.join(F.broadcast(probe), on=centroid_id_col, how="inner")
-    return knn(cell, q, k, vec_col=vec_col, id_col=id_col)
+    # ensure=False: the probed cells inherit the assignment's partitions
+    # (guarded inside ivf_assign when the corpus is big), and the
+    # broadcast-join size ESTIMATE is inflated enough to misfire the
+    # guard on fixture-scale inputs.
+    return knn(cell, q, k, vec_col=vec_col, id_col=id_col, ensure=False)
 
 
 # --- product quantization ----------------------------------------------------
@@ -471,6 +494,7 @@ def pq_subvectors(
     sub_dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    ensure: bool = True,
 ) -> DataFrame:
     """Slice each vector into ``n_sub`` contiguous ``sub_dim``-wide
     subvectors → (id, s, sv) rows. Scan-side explode (no shuffle in the
@@ -480,8 +504,11 @@ def pq_subvectors(
     every downstream PQ stage (codeword assignment is n x n_sub x k
     interpreted sub-distances) pipelines into these output partitions,
     so a single-split scan would otherwise serialize all of it.
+    ``ensure=False`` when the input already inherits guarded partitions
+    (the IVF-probed cell subset in :func:`ivfpq_search`).
     """
-    df = ensure_parallelism(df)
+    if ensure:
+        df = ensure_parallelism(df)
     v = V.as_double_array(vec_col)
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
@@ -583,6 +610,7 @@ def pq_adc_search(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    ensure: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance PQ search: encode the corpus to (vector,
     subspace) → code, build the query's per-(subspace, centroid) squared-
@@ -596,7 +624,7 @@ def pq_adc_search(
     the codebook — the full float vectors never participate. Here the
     encode pass is recomputed from the scan; a real deployment persists
     the code columns once and scans only those thereafter."""
-    subs = pq_subvectors(corpus_df, n_sub, sub_dim, vec_col, id_col)
+    subs = pq_subvectors(corpus_df, n_sub, sub_dim, vec_col, id_col, ensure)
     codes = pq_assign(subs, codebook_df, id_col)
 
     qv = V.vec_lit(list(query_vec))
@@ -657,6 +685,10 @@ def ivfpq_search(
     cell = assigned.join(F.broadcast(probe), centroid_id_col).select(
         id_col, vec_col
     )
+    # ensure=False: the probed cell subset inherits the assignment's
+    # partitions (guarded in ivf_assign when the corpus is big); the
+    # join-output size estimate would misfire the guard at fixture scale.
     return pq_adc_search(
-        cell, codebook_df, query_vec, n_sub, sub_dim, k, vec_col, id_col
+        cell, codebook_df, query_vec, n_sub, sub_dim, k, vec_col, id_col,
+        ensure=False,
     )

@@ -778,10 +778,12 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("vec_id") == _RERANK_QID)
         .select(F.col("codes").alias("qcodes"))
     )
-    # Guard the coarse scan (n int8-distance rows), NOT the 100-row
-    # exact stage below — knn(ensure=False) there; see ensure_parallelism.
+    # No parallelism guard here: the coarse stage is codegen-cheap int8
+    # math (~μs/row even interpreted), so a single split stays sub-second
+    # at any SF this repo measures; the exact stage below is 100 rows
+    # (knn ensure=False).
     cand = (
-        K.ensure_parallelism(base).crossJoin(F.broadcast(qcodes))
+        base.crossJoin(F.broadcast(qcodes))
         .select("vec_id", _sq8_dist2().alias("d2"))
         .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
         .limit(_RERANK_CAND)
