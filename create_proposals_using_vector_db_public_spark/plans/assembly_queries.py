@@ -22,6 +22,8 @@ from ..functions import text as T
 from ..functions.hashing import d_h64
 from ..sources import load_table
 from .duck import d_words
+from .plant import (PLANT_COPY_OFFSET, PLANT_DECON_OFFSET,
+                    PLANT_PII_OFFSET, assert_plantable)
 from .registry import query
 
 # DuckDB mirror of functions.text.tokens (same as pipeline_queries._WORDS_SQL).
@@ -55,7 +57,7 @@ WITH bench AS (
 ), train AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 500000 AS doc_id, '{_DECON_PREFIX}' || text AS text
+  SELECT doc_id + {PLANT_DECON_OFFSET} AS doc_id, '{_DECON_PREFIX}' || text AS text
   FROM bench
 ), bg AS ({_DECON_GRAMS_SQL.format(src='bench', distinct='DISTINCT')}
 ), tg AS ({_DECON_GRAMS_SQL.format(src='train', distinct='')}
@@ -96,12 +98,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of training grams at all, and only the (rare) matching pairs reach
     the final small aggregation. Gram texts never move; 8-byte
     fingerprints do."""
+    assert_plantable(sf_dir)
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Bench side: filtered BEFORE any repartition (it's the tiny side —
     # shuffling the whole corpus to extract it would be backwards).
     bench = raw.filter(F.col("doc_id") % 23 == 0)
     planted = bench.select(
-        (F.col("doc_id") + 500000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_DECON_OFFSET).alias("doc_id"),
         F.concat(F.lit(_DECON_PREFIX), F.col("text")).alias("text"),
     )
     # Train side: single-file fixture → spread the CPU-bound gram/hash
@@ -205,9 +208,9 @@ WITH base AS (
 ), corpus AS (
   SELECT doc_id, text FROM base
   UNION ALL
-  SELECT doc_id + 100000, text FROM base WHERE doc_id % 50 = 0
+  SELECT doc_id + {PLANT_COPY_OFFSET}, text FROM base WHERE doc_id % 50 = 0
   UNION ALL
-  SELECT doc_id + 300000, text || '{_E2E_PII_TAIL}' FROM base
+  SELECT doc_id + {PLANT_PII_OFFSET}, text || '{_E2E_PII_TAIL}' FROM base
   WHERE doc_id % 40 = 0
 ), scrub AS (
   SELECT doc_id,
@@ -274,12 +277,13 @@ def q_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level partial+final aggregate — 3 ints per token occurrence,
     never text, and the second exchange is already collapsed to
     per-chunk partials."""
+    assert_plantable(sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_COPY_OFFSET).alias("doc_id"), "text"
     )
     pii = d.filter(F.col("doc_id") % 40 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_PII_OFFSET).alias("doc_id"),
         F.concat("text", F.lit(_E2E_PII_TAIL)).alias("text"),
     )
     corpus = d.unionByName(copies).unionByName(pii)

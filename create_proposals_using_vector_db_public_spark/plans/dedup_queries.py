@@ -5,8 +5,15 @@ table unioned with deterministic copies/near-copies, so every dedup
 operator provably finds the planted duplicates and the oracle reproduces the
 construction exactly:
 
-- exact copies: doc_id + 100000, same text          (doc_id % 50 == 0)
-- near copies:  doc_id + 200000, text + fixed tail  (doc_id % 70 == 0)
+- exact copies: doc_id + PLANT_COPY_OFFSET, same text         (doc_id % 50 == 0)
+- near copies:  doc_id + PLANT_NEAR_OFFSET, text + fixed tail (doc_id % 70 == 0)
+
+The offsets (plans/plant.py) sit at 1e12/2e12 — far above any fixture id —
+because an id collision silently MERGES a planted copy with an unrelated
+real document inside the grouped-by-id signature aggregates while the
+per-row oracles keep them separate (the round-4 sf10 scale proof caught
+exactly that with the old 1e5 offsets at 500k docs). assert_plantable
+backstops the constant from the parquet footer at plan-build time.
 
 All hashing is md5-derived (functions.hashing), so MinHash / SimHash / LSH
 buckets are bit-identical across engines — the checks are value-exact, not
@@ -22,6 +29,7 @@ from ..functions import text as T
 from ..operators import dedup as D
 from ..sources import load_table
 from .duck import d_cosine, d_dot, d_hashed_bucket, d_normalize, dd, d_words
+from .plant import PLANT_COPY_OFFSET, PLANT_NEAR_OFFSET, assert_plantable
 from .registry import query
 
 NEAR_SUFFIX = " extra appended tail"
@@ -37,16 +45,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup passes are CPU-bound string/hash work — spread rows across all
     # cores. On a real cluster the many input files of a 100 TB table give
     # this parallelism for free and the repartition would be dropped.
+    assert_plantable(sf_dir)
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
     copies = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_COPY_OFFSET).alias("doc_id"), "text"
     )
     nears = d.filter(F.col("doc_id") % 70 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_NEAR_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
     )
     return d.unionByName(copies).unionByName(nears)
@@ -56,9 +65,10 @@ _CORPUS_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  SELECT doc_id + {PLANT_COPY_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+  SELECT doc_id + {PLANT_NEAR_OFFSET} AS doc_id, text || '{NEAR_SUFFIX}' AS text
   FROM documents WHERE doc_id % 70 = 0
 )
 """
@@ -253,11 +263,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_CORPUS_SQL = """
+_EMB_CORPUS_SQL = f"""
 vcorpus AS (
   SELECT vec_id, label, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id, label, embedding
+  SELECT vec_id + {PLANT_COPY_OFFSET} AS vec_id, label, embedding
   FROM embeddings WHERE vec_id % 50 = 0
 )
 """
@@ -301,9 +311,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     band); the banding keeps per-bucket pair work flat as the corpus
     grows, where the 10-key label block alone was quadratic (132s at sf1,
     ~4s banded)."""
+    assert_plantable(sf_dir, table="embeddings", col="vec_id")
     e = load_table(spark, sf_dir, "embeddings")
     copies = e.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+        (F.col("vec_id") + PLANT_COPY_OFFSET).alias("vec_id"), "label", "embedding"
     )
     corpus = e.select("vec_id", "label", "embedding").unionByName(copies)
     return D.embedding_near_dup_pairs(
@@ -357,10 +368,10 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already indexed; today's crawl must be checked against it AND against
 # itself (the corpus-scale generalization of the reference's per-file
 # skip logic, R9/R11). The planted corpus provides the split naturally:
-# original documents (doc_id < 100000) are the existing index, the
-# planted exact copies and near-duplicates (>= 100000) are the new batch.
+# original documents (doc_id < PLANT_COPY_OFFSET) are the existing index,
+# the planted exact copies and near-duplicates (>= it) are the new batch.
 
-_BATCH_START = 100_000
+_BATCH_START = PLANT_COPY_OFFSET
 
 _DEDUP_INCR_ORACLE = f"""
 WITH pairs AS ({{minhash}})
@@ -455,12 +466,13 @@ wsh AS (
               AS BIGINT) AS n_true_emitted
   FROM jac
 ), truth0 AS (
-  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+  SELECT doc_id AS id_a, doc_id + {PLANT_COPY_OFFSET} AS id_b
   FROM documents WHERE doc_id % 50 = 0
   UNION ALL
-  SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id % 70 = 0
+  SELECT doc_id, doc_id + {PLANT_NEAR_OFFSET} FROM documents
+  WHERE doc_id % 70 = 0
   UNION ALL
-  SELECT doc_id + 100000, doc_id + 200000
+  SELECT doc_id + {PLANT_COPY_OFFSET}, doc_id + {PLANT_NEAR_OFFSET}
   FROM documents WHERE doc_id % 350 = 0
 ), truth AS (
   SELECT t.id_a, t.id_b
@@ -534,18 +546,18 @@ def _pair_eval(
         d.filter(F.col("doc_id") % 50 == 0)
         .select(
             F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 100000).alias("id_b"),
+            (F.col("doc_id") + PLANT_COPY_OFFSET).alias("id_b"),
         )
         .unionByName(
             d.filter(F.col("doc_id") % 70 == 0).select(
                 F.col("doc_id").alias("id_a"),
-                (F.col("doc_id") + 200000).alias("id_b"),
+                (F.col("doc_id") + PLANT_NEAR_OFFSET).alias("id_b"),
             )
         )
         .unionByName(
             d.filter(F.col("doc_id") % 350 == 0).select(
-                (F.col("doc_id") + 100000).alias("id_a"),
-                (F.col("doc_id") + 200000).alias("id_b"),
+                (F.col("doc_id") + PLANT_COPY_OFFSET).alias("id_a"),
+                (F.col("doc_id") + PLANT_NEAR_OFFSET).alias("id_b"),
             )
         )
     )

@@ -22,6 +22,7 @@ from ..operators import dedup as D
 from ..operators import knn as K
 from ..sources import load_table
 from .dedup_queries import _CORPUS_SQL, _corpus
+from .plant import PLANT_PII_OFFSET, assert_plantable
 from .duck import d_cosine, d_l2, dd, d_words
 from .registry import query
 from .vector_queries import _query_vec
@@ -34,7 +35,7 @@ _PII_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 300000 AS doc_id, text || '{_PII_TAIL}' AS text
+  SELECT doc_id + {PLANT_PII_OFFSET} AS doc_id, text || '{_PII_TAIL}' AS text
   FROM documents WHERE doc_id % 40 = 0
 ), scrubbed AS (
   SELECT doc_id,
@@ -60,9 +61,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the redaction counts plus the md5 of the scrubbed text, so
     the value check covers the exact replacement semantics without
     shipping full texts through the compare."""
+    assert_plantable(sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 40 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_PII_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_PII_TAIL)).alias("text"),
     )
     corpus = d.unionByName(planted)

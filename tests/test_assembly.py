@@ -8,6 +8,7 @@ import os
 import pytest
 
 from create_proposals_using_vector_db_public_spark.plans import QUERIES
+from create_proposals_using_vector_db_public_spark.plans.plant import PLANT_DECON_OFFSET
 
 SF = "/root/testdata/sf0.001"
 
@@ -35,8 +36,9 @@ def test_decontaminate_flags_every_planted_leak(spark):
     # be flagged against exactly its source benchmark doc — the recall
     # contract; a decontamination pass with misses is worse than none.
     for b in bench_ids:
-        assert (500000 + b, b) in pairs, f"planted leak {500000 + b} missed"
-        assert pairs[(500000 + b, b)] >= 1
+        leak = PLANT_DECON_OFFSET + b
+        assert (leak, b) in pairs, f"planted leak {leak} missed"
+        assert pairs[(leak, b)] >= 1
 
 
 def test_pack_sequences_window_arithmetic(spark):

@@ -11,7 +11,9 @@ cardinalities, and selectivities carry over:
   customer  150k*sf      supplier  10k*sf     part  200k*sf
   orders    1.5M*sf      lineitem  ~6M*sf (1-7 lines/order, avg ~4)
   events    1M*sf (ts-sorted over 30 days; value ~ Exp(mean 50))
-  documents 50k*sf (31-word vocab salad, ~0.16% planted exact dups)
+  documents 50k*sf (word salad over a Heaps'-law vocabulary —
+             31 words at <=5000 docs (the driver fixture's own vocab),
+             V = 31*sqrt(n/5000) above; ~0.16% planted exact dups)
   embeddings 20k*sf (64-dim unit float32, 10 labels, weak label signal:
              intra-label mean cosine ~0.004 as in the driver data)
 
@@ -62,13 +64,18 @@ def _ts(col_us: np.ndarray) -> pa.Array:
     return pa.array(col_us, type=pa.timestamp("us"))
 
 
-def _write(out: str, name: str, table: pa.Table) -> None:
+def _write(out: str, name: str, table: pa.Table, only=None) -> None:
+    if only is not None and name not in only:
+        return
     path = os.path.join(out, f"{name}.parquet")
     pq.write_table(table, path, row_group_size=1 << 20)
     print(f"  {name}: {table.num_rows} rows -> {path}")
 
 
-def generate(sf: float, out: str, seed: int = 42) -> None:
+def generate(sf: float, out: str, seed: int = 42, only=None) -> None:
+    """only=None writes every table; only={names} still REPLAYS the full
+    RNG draw sequence (so any subset is bit-identical to a full run) but
+    skips the parquet writes for the other tables."""
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -84,12 +91,12 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     _write(out, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
         "r_name": REGIONS,
-    }))
+    }), only)
     _write(out, "nation", pa.table({
         "n_nationkey": pa.array(range(25), pa.int32()),
         "n_name": [f"NATION_{i}" for i in range(25)],
         "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
-    }))
+    }), only)
 
     _write(out, "customer", pa.table({
         "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
@@ -97,14 +104,14 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
         "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
         "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
-    }))
+    }), only)
 
     _write(out, "supplier", pa.table({
         "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
         "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
         "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
-    }))
+    }), only)
 
     # p_retailprice follows the driver's 900 + (key % 1000)/10 ramp
     pk = np.arange(n_part)
@@ -116,7 +123,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "p_type": pa.array(np.array(PTYPES)[rng.integers(0, len(PTYPES), n_part)]),
         "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
         "p_retailprice": np.round(900.0 + (pk % 1000) / 10.0, 1),
-    }))
+    }), only)
 
     odate_us = ORDER_MIN + rng.integers(0, ORDER_DAYS + 1, n_ord) * DAY_US
     _write(out, "orders", pa.table({
@@ -126,7 +133,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
         "o_orderdate": _ts(odate_us),
         "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
-    }))
+    }), only)
 
     # lineitem: 1-7 lines per order (avg ~4, matching the driver's 4.08);
     # shipdate independent-uniform over its own shifted window (the driver
@@ -148,7 +155,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
         "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
         "l_shipdate": _ts(SHIP_MIN + rng.integers(0, SHIP_DAYS + 1, n_li) * DAY_US),
-    }))
+    }), only)
 
     ev_ts = np.sort(EVENT_MIN + rng.integers(0, EVENT_SPAN_US, n_ev))
     _write(out, "events", pa.table({
@@ -158,10 +165,25 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]),
         "value": np.round(rng.exponential(50.0, n_ev), 2),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
-    }))
+    }), only)
 
+    # Heaps'-law vocabulary growth: V(n) = 31*sqrt(n/5000), anchored so
+    # every SF at or below the driver's sf0.1 (5000 docs) reproduces the
+    # 31-word fixture vocabulary AND the identical RNG draw sequence. A
+    # FIXED vocab saturates the 3-word-gram space as the corpus grows: by
+    # sf10 (500k docs) every shingle appears in hundreds of documents, so
+    # DF-capped detectors (winnowing's stop-gram guard) correctly treat
+    # ALL fingerprints as boilerplate and the planted-dup fixtures go
+    # vacuous (0 emitted pairs — measured in the round-4 sf10 proof).
+    # Real corpora grow vocabulary with size (Heaps' law, beta~0.5);
+    # mirroring that keeps gram document-frequency — and therefore
+    # detector discrimination — scale-invariant.
+    n_vocab = max(len(VOCAB), round(len(VOCAB) * (n_doc / 5000.0) ** 0.5))
+    vocab = VOCAB if n_vocab == len(VOCAB) else np.concatenate(
+        [VOCAB, np.array([f"lex{i:05d}" for i in range(n_vocab - len(VOCAB))])]
+    )
     nwords = rng.integers(10, 101, n_doc)
-    flat = VOCAB[rng.integers(0, len(VOCAB), int(nwords.sum()))]
+    flat = vocab[rng.integers(0, n_vocab, int(nwords.sum()))]
     bounds = np.concatenate([[0], np.cumsum(nwords)])
     texts = [" ".join(flat[bounds[i]:bounds[i + 1]]) for i in range(n_doc)]
     # plant ~0.16% exact duplicates of earlier docs (driver sf0.1: 4992/5000)
@@ -174,7 +196,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "lang": pa.array(LANGS[rng.choice(5, n_doc, p=LANG_P)]),
         "source": pa.array([f"src{i % 20}" for i in range(n_doc)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
+    }), only)
 
     # weak label signal: v = noise + 0.5*center[label]; intra-label mean
     # cosine = a^2/(64+a^2) ~ 0.004, matching the measured driver value
@@ -187,7 +209,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "vec_id": pa.array(np.arange(n_emb), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
-    }))
+    }), only)
 
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
         json.dump({"sf": sf, "seed": seed, "generator": "tools/gen_sf.py",
@@ -195,7 +217,12 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.localdata/sf{sys.argv[1]}"
-    print(f"generating sf={sf} -> {out}")
-    generate(sf, out)
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"/root/repo/.localdata/sf{args[0]}"
+    print(f"generating sf={sf} -> {out}" + (f" (only {sorted(only)})" if only else ""))
+    generate(sf, out, only=only)
