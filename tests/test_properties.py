@@ -560,13 +560,16 @@ def test_pair_eval_is_detector_convention_invariant(spark):
         _corpus,
         _pair_eval,
     )
+    from create_proposals_using_vector_db_public_spark.plans.plant import (
+        PLANT_COPY_OFFSET as OFF,
+    )
 
     corpus = _corpus(spark, SF)
     base = spark.createDataFrame(
-        [(0, 100000), (50, 100050)], "id_a long, id_b long"
+        [(0, OFF), (50, 50 + OFF)], "id_a long, id_b long"
     )
     messy = spark.createDataFrame(
-        [(100000, 0), (0, 100000), (50, 100050), (100050, 50), (0, 100000)],
+        [(OFF, 0), (0, OFF), (50, 50 + OFF), (50 + OFF, 50), (0, OFF)],
         "id_a long, id_b long",
     )
     a = _pair_eval(spark, SF, corpus, base).collect()[0]
