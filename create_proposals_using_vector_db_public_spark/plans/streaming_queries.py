@@ -53,7 +53,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    target = f"{sf_dir}/events.parquet"
+    # abspath: the link lives in /tmp, so a relative sf_dir (legal for
+    # batch reads, which resolve against the driver cwd) would otherwise
+    # become a relative symlink TARGET that resolves against the link's
+    # own directory — a silently-broken link and an empty stream
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     stage = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stream_{os.getpid()}",

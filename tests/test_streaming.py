@@ -378,3 +378,23 @@ def test_versioned_store_random_commit_sequences(spark, tmp_path):
             for r in S.read_versioned(spark, table).collect()
         )
         assert cur == snapshots[-1]
+
+
+def test_events_stream_accepts_relative_sf_dir(spark):
+    """The events file-stream stages a symlink in /tmp; a RELATIVE sf_dir
+    must be absolutized before it becomes the link target, or the link is
+    broken (resolves against /tmp, not the driver cwd) and every
+    streaming query silently drains 0 rows. Caught at sf1: parity with
+    `.localdata/sf1` returned spark=0 for all 7 streaming queries while
+    the same data via an absolute path passed."""
+    sf_abs = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_abs):
+        pytest.skip("driver testdata absent")
+    from create_proposals_using_vector_db_public_spark.plans import QUERIES
+
+    # relative to the session cwd (Spark's JVM resolves batch reads there,
+    # so those worked all along; only the /tmp symlink target broke)
+    rel = os.path.relpath(sf_abs, os.getcwd())
+    assert not os.path.isabs(rel)
+    n = QUERIES["q_stream_dedup"](spark, rel).count()
+    assert n > 0
