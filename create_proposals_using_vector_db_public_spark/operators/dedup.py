@@ -307,9 +307,14 @@ def winnow_fingerprints(
     )
     # materialize each intermediate array in its OWN projection, then window
     # over the column reference — windowing over the raw expression would
-    # re-inline the hash work per window position (Catalyst project-collapse)
-    coded = df.select(F.col(id_col), whash.alias("__w")).filter(
-        F.size("__w") >= k
+    # re-inline the hash work per window position (Catalyst project-collapse).
+    # The >= k filter uses tokens() (split only), NOT size(__w): transform
+    # preserves length so the predicates are identical, but a size(__w)
+    # filter re-inlines the per-word md5 chain into the predicate and
+    # pushdown then runs it serialized inside the scan stage (same failure
+    # as ngram_jaccard_pairs above).
+    coded = df.filter(F.size(T.tokens(F.col(text_col))) >= k).select(
+        F.col(id_col), whash.alias("__w")
     )
 
     def shingle_hash(i):  # position i (1-based Column) -> Horner chain
@@ -437,11 +442,19 @@ def ngram_jaccard_pairs(
     LSH bands do, but the verify step computes TRUE Jaccard on the distinct
     n-gram sets."""
     grams = F.array_distinct(T.char_ngrams(text_col, n))
-    base = df.select(
+    # Filter on the equivalent CHEAP predicate (grams is non-empty iff the
+    # text has >= n chars) BEFORE projecting the grams. Filtering on
+    # size(grams) AFTER the projection re-inlines the whole char-n-gram
+    # transform into the predicate, and predicate pushdown then carries
+    # that interpreted per-row transform below any upstream repartition
+    # into the scan stage — where a single-row-group file serializes it
+    # onto one core (measured at sf10: the scan stage ran 19 empty tasks
+    # + 1 task doing every doc's n-grams twice).
+    base = df.filter(F.length(F.col(text_col)) >= n).select(
         F.col(id_col),
         F.md5(F.substring(text_col, 1, block_chars)).alias("block"),
         grams.alias("grams"),
-    ).filter(F.size("grams") > 0)
+    )
     a = base.select(
         F.col(id_col).alias("id_a"), "block", F.col("grams").alias("grams_a")
     )

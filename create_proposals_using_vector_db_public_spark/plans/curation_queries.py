@@ -183,8 +183,12 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     fl = (
-        d.select("doc_id", T.tokens("text").alias("w"))
-        .filter(F.size("w") > 0)
+        # length(trim(text)) > 0 iff tokens(text) is non-empty — the cheap
+        # form keeps the pushed-down predicate from re-running the whole
+        # tokenize transform inside the scan stage (see operators/dedup.py
+        # ngram_jaccard_pairs for the measured failure mode)
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", T.tokens("text").alias("w"))
         .select("doc_id", F.posexplode(lines).alias("line_idx", "lh"))
     )
     w = Window.partitionBy("lh").orderBy(

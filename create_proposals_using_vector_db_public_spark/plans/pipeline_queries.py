@@ -113,9 +113,13 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     them back by doc_id — a corpus-sized shuffle to recompute what each
     row already knows; per-doc metrics should never leave the row)."""
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
+    # pre-filter on the cheap equivalent (>= 1 shingle iff >= 3 tokens):
+    # a size(sh) > 0 filter AFTER the projection re-inlines the whole
+    # shingle transform into the pushed-down predicate — twice the
+    # per-row work, all inside the scan stage
+    sized = d.filter(F.size(T.tokens("text")) >= 3).select(
         "doc_id", T.word_shingles("text", 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     n = F.size("sh")
     return sized.select(
         "doc_id",
