@@ -68,13 +68,16 @@ def _write(out: str, name: str, table: pa.Table, only=None) -> None:
     if only is not None and name not in only:
         return
     path = os.path.join(out, f"{name}.parquet")
-    # 64k-row row groups: a single fat row group makes the file
+    # Small row groups: a single fat row group makes the file
     # byte-splittable in name only — every Spark scan split except the one
     # containing the row-group start is empty, so compute-dense projections
     # serialize onto one core (measured at sf10: 19 empty tasks + 1 doing
     # all 500k docs' n-grams). Real 100 TB tables are thousands of files /
-    # row groups; the fixture should be splittable the same way.
-    pq.write_table(table, path, row_group_size=1 << 16)
+    # row groups; the fixture should be splittable the same way. The
+    # text/vector tables get 8k-row groups (their per-row COMPUTE dwarfs
+    # their bytes — tokenize/n-gram/dot chains), the relational tables 64k.
+    rg = 1 << 13 if name in ("documents", "embeddings") else 1 << 16
+    pq.write_table(table, path, row_group_size=rg)
     print(f"  {name}: {table.num_rows} rows -> {path}")
 
 
