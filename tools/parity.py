@@ -37,6 +37,14 @@ from create_proposals_using_vector_db_public_spark.sources import TABLES
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # let the heaviest oracles (semdedup's within-cluster pair join at
+    # sf10 holds ~10^7 64-float lists) spill instead of OOM-ing: an
+    # in-memory DuckDB only spills once a temp_directory is set, and the
+    # default memory budget must leave room for the Spark JVM sharing
+    # the box during a parity run
+    con.sql("SET temp_directory='/tmp/duck_spill'")
+    con.sql("SET max_temp_directory_size='60GiB'")
+    con.sql("SET memory_limit='48GiB'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
