@@ -9,9 +9,10 @@ columnar format, each through a full write → read-with-explicit-schema → ver
 cycle.
 
 The verification aggregate is order-independent and exact: row count,
-BIGINT sum of a numeric column, and a sum of md5-derived int64s over
-the text column (functions.hashing.h64 — portable to DuckDB), so any
-row lost, duplicated, or corrupted by quoting/escaping changes the
+BIGINT sum of a numeric column, and an XOR-fold of md5-derived int64s
+over the text column (functions.hashing.h64 — portable to DuckDB;
+XOR, not sum, so the aggregate cannot overflow at any row count), so
+any row lost, duplicated, or corrupted by quoting/escaping changes the
 value hash.
 """
 
@@ -37,10 +38,10 @@ _FORMAT_ORACLE = f"""
 WITH stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         CAST(sum({H.d_h64("text", nchars=12)}) AS BIGINT) AS content_sum
+         CAST(bit_xor({H.d_h64("text", nchars=12)}) AS BIGINT) AS content_xor
   FROM documents
 )
-SELECT fmt, n_rows, sum_chars, content_sum
+SELECT fmt, n_rows, sum_chars, content_xor
 FROM stats, (VALUES ('csv'), ('json'), ('orc'), ('xml')) AS f(fmt)
 """
 
@@ -97,7 +98,7 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cannot carry control chars, and an empty string reads back
             # from an empty element as null — so the round-trip claim has
             # a genuine precondition. Assert it (fail loudly, bounded
-            # limit(1) scan) instead of letting content_sum silently
+            # limit(1) scan) instead of letting content_xor silently
             # diverge on a corpus the fixture doesn't represent.
             n_bad = (
                 d.filter(
@@ -132,9 +133,12 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.agg(
                 F.count("*").alias("n_rows"),
                 F.sum("n_chars").alias("sum_chars"),
-                # 48-bit per-row hashes: the BIGINT sum stays exact (no
-                # overflow) up to ~30k-row tables x 2^48
-                F.sum(H.h64("text", nchars=12)).alias("content_sum"),
+                # XOR-fold of 48-bit per-row hashes: order-independent and
+                # exact at ANY row count (a BIGINT sum of 2^48 hashes
+                # overflows past ~30k rows — the sf10 sweep hit exactly
+                # that under ANSI mode). n_rows alongside catches the
+                # even-duplicate case XOR alone would cancel.
+                F.bit_xor(H.h64("text", nchars=12)).alias("content_xor"),
             ).select(F.lit(fmt).alias("fmt"), "*")
         )
     out = outs[0]
@@ -232,7 +236,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(paragraph_idx) AS BIGINT) AS sum_idx,
        CAST(sum(n_tok) AS BIGINT) AS emb_sum,
        CAST(sum(d0) AS BIGINT) AS emb_d0,
-       CAST(sum({H.d_h64("kw_join", nchars=12)}) AS BIGINT) AS kw_sum
+       CAST(bit_xor({H.d_h64("kw_join", nchars=12)}) AS BIGINT) AS kw_xor
 FROM feat
 """
 
@@ -275,7 +279,10 @@ def q_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x))
         .cast("bigint").alias("emb_sum"),
         F.sum(F.element_at("embedding", 1)).cast("bigint").alias("emb_d0"),
-        F.sum(H.h64(F.array_join("keywords", " "), nchars=12)).alias("kw_sum"),
+        # XOR-fold, not sum: exact at any chunk count (hash sums overflow
+        # BIGINT past ~30k rows of 48-bit hashes)
+        F.bit_xor(H.h64(F.array_join("keywords", " "), nchars=12))
+        .alias("kw_xor"),
     )
 
 
@@ -304,7 +311,7 @@ SELECT file_name,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(doc_id) AS BIGINT) AS sum_idx,
        CAST(sum(n_tok) AS BIGINT) AS emb_sum,
-       CAST(sum({H.d_h64("kw_join", nchars=12)}) AS BIGINT) AS kw_sum
+       CAST(bit_xor({H.d_h64("kw_join", nchars=12)}) AS BIGINT) AS kw_xor
 FROM feat GROUP BY file_name
 """
 
@@ -370,5 +377,8 @@ def q_pickle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("paragraph_idx").cast("bigint").alias("sum_idx"),
         F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x))
         .cast("bigint").alias("emb_sum"),
-        F.sum(H.h64(F.array_join("keywords", " "), nchars=12)).alias("kw_sum"),
+        # XOR-fold, not sum: exact at any chunk count (hash sums overflow
+        # BIGINT past ~30k rows of 48-bit hashes)
+        F.bit_xor(H.h64(F.array_join("keywords", " "), nchars=12))
+        .alias("kw_xor"),
     )

@@ -176,8 +176,8 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPACT_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CAST(o_orderkey % 2147483647 * 2654435761 % 2147483647
-                     AS BIGINT)) AS BIGINT) AS content_sum
+       CAST(bit_xor(CAST(o_orderkey % 2147483647 * 2654435761 % 2147483647
+                         AS BIGINT)) AS BIGINT) AS content_xor
 FROM orders WHERE o_orderstatus = 'O'
 """
 
@@ -221,14 +221,17 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(small).coalesce(2).write.mode("overwrite").parquet(big)
     compacted = spark.read.parquet(big)
     # mod BEFORE the multiply: keeps the scaled product under 2^63 at any
-    # orderkey magnitude (the raw multiply overflows bigint past SF ~580)
-    checksum = F.sum(
+    # orderkey magnitude (the raw multiply overflows bigint past SF ~580).
+    # XOR-fold, not sum: a BIGINT sum of 31-bit row hashes overflows past
+    # ~4e9 rows — real at 100 TB order counts; XOR is exact at any count,
+    # and n_rows alongside catches the even-duplicate case XOR cancels.
+    checksum = F.bit_xor(
         (F.col("o_orderkey") % F.lit(2147483647) * F.lit(2654435761)
          % F.lit(2147483647))
         .cast("bigint")
-    ).cast("bigint")
+    )
     return compacted.agg(
-        F.count(F.lit(1)).alias("n_rows"), checksum.alias("content_sum")
+        F.count(F.lit(1)).alias("n_rows"), checksum.alias("content_xor")
     )
 
 
