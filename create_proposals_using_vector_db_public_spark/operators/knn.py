@@ -67,7 +67,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     shuffle_n = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    if df.rdd.getNumPartitions() < shuffle_n:
+    # partition count from the plan's own physical RDD: df.rdd would wrap
+    # the plan in a DeserializeToObject projection and re-run analysis per
+    # guarded query just to ask a partition count (the guarded inputs are
+    # exchange-free scans/projections, so building the internal RDD plans
+    # lazily and runs no job)
+    try:
+        n_part = int(df._jdf.queryExecution().toRdd().getNumPartitions())
+    except Exception:
+        n_part = df.rdd.getNumPartitions()
+    if n_part < shuffle_n:
         return df.repartition(shuffle_n)
     return df
 

@@ -183,11 +183,14 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     fl = (
-        # length(trim(text)) > 0 iff tokens(text) is non-empty — the cheap
-        # form keeps the pushed-down predicate from re-running the whole
-        # tokenize transform inside the scan stage (see operators/dedup.py
-        # ngram_jaccard_pairs for the measured failure mode)
-        d.filter(F.length(F.trim("text")) > 0)
+        # rlike(\S) iff tokens(text) is non-empty — the cheap predicate must
+        # match the tokenizer's SEPARATOR CLASS (Java \s+), not Spark trim's
+        # ASCII-space-only strip: a tabs-only doc passes length(trim(..)) > 0
+        # yet tokenizes to [], and ceil(0/3)-1 then fabricates a bogus
+        # md5("") line the oracle (len(words) > 0) never sees. Still
+        # split-free so the scan stage never re-runs the tokenize transform
+        # (see operators/dedup.py ngram_jaccard_pairs for that failure mode)
+        d.filter(F.col("text").rlike(r"\S"))
         .select("doc_id", T.tokens("text").alias("w"))
         .select("doc_id", F.posexplode(lines).alias("line_idx", "lh"))
     )

@@ -32,6 +32,27 @@ _PR_ITERS = 3
 _TRI_MIN_W = 2
 _PR_CACHE: dict = {}
 
+# Broadcasting the |nodes|-sized rank state is the right plan while it fits
+# executor memory; past that the broadcast build itself OOMs (10^9 nodes x
+# ~24 B is tens of GB). Gate on the optimizer's size estimate of the
+# degree/state plan — the same estimate-driven guard as
+# operators.knn.ensure_parallelism. The estimate is inflated vs the true
+# state (~9x at sf10: 443 MB estimated, ~50 MB real), and 1 GiB keeps every
+# measured SF (sf0.001 32 KB -> sf10 443 MB) on the verified broadcast plan
+# while a billion-node graph (estimate in the hundreds of GB) falls back to
+# the plain shuffled join. Module-level so tests can force the fallback.
+_PR_BCAST_MAX_BYTES = 1 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate, None when unavailable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
 _EDGES_SQL = """
 io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (
@@ -153,21 +174,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays it bit-for-bit through a CTE chain.
 
     Scale shape: each iteration is one join of the edge list with the
-    |nodes|-sized rank table (broadcast when dims allow, else same-key
-    shuffle that AQE reuses) plus one partial+final sum keyed by dst —
-    the textbook Pregel-on-DataFrames plan. The edge list is computed
-    once and cached; iterations reuse it."""
+    |nodes|-sized rank table (broadcast while the size estimate says the
+    state fits executor memory — see _PR_BCAST_MAX_BYTES — else a plain
+    same-key shuffle join against the src-partitioned cached edge list)
+    plus one partial+final sum keyed by dst — the textbook
+    Pregel-on-DataFrames plan. The edge list is computed once and cached;
+    iterations reuse it."""
     edges = _edges(spark, sf_dir)
-    # hash-partition the cached edge list by dst ONCE: every iteration's
-    # contribution sum groups by dst, and Spark recognizes the existing
-    # hashpartitioning — the per-iteration exchange of the full edge-sized
-    # (dst, contrib) stream disappears (measured ~20% at sf0.1; at cluster
-    # scale this is the reuse-a-partitioning-across-stages discipline).
+    # Decide the per-iteration join strategy ONCE, from the degree-table
+    # plan's own size estimate (the rank state has identical cardinality
+    # and ~24 B rows every iteration).
+    est = _plan_size_bytes(
+        _undirected(edges).groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    bcast_state = est is not None and est <= _PR_BCAST_MAX_BYTES
+    # Hash-partition the cached edge list ONCE, on the key each mode reuses
+    # every iteration: broadcast mode groups contributions by dst, so a
+    # dst-partitioned cache makes the per-iteration exchange of the full
+    # edge-sized (dst, contrib) stream disappear (measured ~20% at sf0.1);
+    # shuffle mode joins on src, so a src-partitioned cache lets the join
+    # reuse the cached partitioning and only the state side plus the
+    # narrow (dst, c) longs move per iteration — the
+    # reuse-a-partitioning-across-stages discipline either way.
+    part_key = "dst" if bcast_state else "src"
     try:
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        u = _undirected(edges).repartition(n_part, "dst").cache()
+        u = _undirected(edges).repartition(n_part, part_key).cache()
     except ValueError:  # conf may be non-numeric ("auto" on some platforms)
-        u = _undirected(edges).repartition("dst").cache()
+        u = _undirected(edges).repartition(part_key).cache()
     # scope the cache: evict the previous invocation's edge list so long
     # multi-query runs hold at most one pagerank cache entry
     prev = _PR_CACHE.pop("u", None)
@@ -179,11 +213,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), "deg", F.lit(_PR_SCALE).cast("bigint").alias("r")
     )
     for _ in range(_PR_ITERS):
-        # rank state is |nodes|-sized — broadcast it so the (much larger)
-        # edge table never re-shuffles; the only exchange per iteration
-        # is the partial+final contribution sum keyed by dst
+        # rank state is |nodes|-sized — broadcast it (so the much larger
+        # edge table never re-shuffles; the only exchange per iteration is
+        # the partial+final contribution sum keyed by dst) while the gate
+        # above says it fits; past the gate, plain-join against the
+        # src-partitioned cache instead of OOMing the broadcast build
         contrib = (
-            u.join(F.broadcast(state), u.src == state.node)
+            u.join(F.broadcast(state) if bcast_state else state,
+                   u.src == state.node)
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))

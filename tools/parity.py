@@ -21,6 +21,7 @@ driver's exact slice.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -35,16 +36,34 @@ from create_proposals_using_vector_db_public_spark.session import get_spark
 from create_proposals_using_vector_db_public_spark.sources import TABLES
 
 
+def _duck_mem_limit() -> str:
+    """DuckDB memory budget: 40% of physical RAM (leaves room for the
+    Spark JVM sharing the box), floor 2GiB, overridable via
+    PARITY_DUCK_MEM. A hardcoded budget sized to one host OOMs on a
+    smaller one BEFORE spilling — the opposite of the spill intent."""
+    env = os.environ.get("PARITY_DUCK_MEM")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        return f"{max(2, int(total * 0.4 / (1 << 30)))}GiB"
+    except (ValueError, OSError, AttributeError):
+        return "8GiB"
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # let the heaviest oracles (semdedup's within-cluster pair join at
     # sf10 holds ~10^7 64-float lists) spill instead of OOM-ing: an
     # in-memory DuckDB only spills once a temp_directory is set, and the
-    # default memory budget must leave room for the Spark JVM sharing
-    # the box during a parity run
+    # memory budget is derived from THIS host's RAM (48GiB on the 125GiB
+    # build box), not hardcoded to it
     con.sql("SET temp_directory='/tmp/duck_spill'")
-    con.sql("SET max_temp_directory_size='60GiB'")
-    con.sql("SET memory_limit='48GiB'")
+    con.sql(
+        f"SET max_temp_directory_size="
+        f"'{os.environ.get('PARITY_DUCK_SPILL', '60GiB')}'"
+    )
+    con.sql(f"SET memory_limit='{_duck_mem_limit()}'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
