@@ -10,9 +10,11 @@ R9 at ``app.py:98-99``):
   shuffle of (id, pos, word-hash) longs — see
   :func:`minhash_signatures` for why it beats the row-local array form);
   the other shuffle is the band-bucket self-join.
-- **SimHash**: 32-bit token-set fingerprint; near-dups = small Hamming
-  distance. Banded by the 4 bytes (pigeonhole: Hamming ≤ 3 ⇒ at least one
-  equal byte), so again no full cross join.
+- **SimHash**: 64-bit shingle-set fingerprint (two 32-bit words, three
+  independent 31-bit affine draws — width is what keeps precision usable
+  past ~10^5 docs); near-dups = small Hamming distance. Banded by 4
+  16-bit slices (pigeonhole: Hamming ≤ 3 ⇒ at least one equal band), so
+  again no full cross join — the Manku et al. WWW'07 layout.
 - **embedding cosine**: near-dup by vector similarity, blocked on a
   partition key (label / LSH bucket) to bound the pair space.
 
@@ -478,22 +480,43 @@ def ngram_jaccard_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 64-bit signatures, the Manku et al. (WWW'07) width: at n documents the
+# random-pair collision P(hamming <= 3) must stay far below 1/C(n,2), and
+# 32 bits stop clearing that bar near n ~ 10^5 (measured: precision 0.045
+# at 500k docs with the old 32-bit family — SCALE.md "detector pricing").
+# At 64 bits the same tail is ~2.4e-15, negligible even at 10^9 docs.
+SIMHASH_BITS = 64
+# Each affine draw is mod 2^31-1, so it yields 31 honest bits; wider
+# signatures take bits from INDEPENDENT draws (a "64-bit" signature built
+# by reusing one draw's bits would collide exactly like a 31-bit one —
+# perfectly correlated halves).
+SIMHASH_BITS_PER_DRAW = 31
+# One (a, b) mix per draw: classic full-period Lehmer/L'Ecuyer multipliers
+# mod 2^31-1. Shingle hashes are < 2^31, so every product stays < 2^48 —
+# exact under Spark's ANSI mode and DuckDB BIGINT alike.
+SIMHASH_MIX = ((48271, 11939), (69621, 12345), (40692, 7777))
 
 
 def simhash(
     text_col: Column | str,
-    bits: int = SIMHASH_BITS,
+    bits: int = 32,
     shingle_words: int | None = 3,
 ) -> Column:
     """Unweighted SimHash: bit b is set when more than half the distinct
     features hash to 1 at bit b. Row-local (no shuffle): each bit is a
-    filtered count over the feature array.
+    filtered count over the feature array. Bits beyond 32 draw from
+    independently-seeded md5 hashes (seed = b div 32), so any width up to
+    63 (the positive range of one BIGINT) is honest — bit 40 is NOT a
+    copy of bit 8. Default stays 32: each extra bit duplicates the
+    feature expression (codegen cost), and the production path is the
+    aggregated :func:`simhash_signatures` anyway.
 
     Features default to 3-word shingles rather than raw tokens: on corpora
     with a small shared vocabulary (like the fixture docs) token SETS are
     nearly identical across documents and token-SimHash degenerates — every
     pair collides. Shingle sets stay diverse."""
+    if not 1 <= bits <= 63:
+        raise ValueError("row-local simhash packs into one BIGINT: 1..63 bits")
     feats = (
         T.word_shingles(text_col, shingle_words)
         if shingle_words
@@ -504,7 +527,8 @@ def simhash(
 
     def bit_test(b: int):
         # single-arg lambda on purpose — see _seeded_hasher
-        return lambda t: H.hash_bit(t, b % 32) == 1
+        seed = (b // 32) or None  # None keeps bits 0-31 the historical draw
+        return lambda t: H.hash_bit(t, b % 32, seed=seed) == 1
 
     bit_exprs = []
     for b in range(bits):
@@ -515,18 +539,9 @@ def simhash(
     return sum(bit_exprs).cast("bigint")
 
 
-def simhash_bytes(sh: Column, n_bytes: int = 4) -> Column:
-    """The 4 byte-bands of a 32-bit simhash (pigeonhole blocking keys)."""
-    return F.array(
-        *[
-            ((sh / F.lit(2 ** (8 * i))).cast("bigint") % 256).alias(f"byte{i}")
-            for i in range(n_bytes)
-        ]
-    )
-
-
-SIMHASH_MIX_A = 48271  # extra affine mix over the shingle hash
-SIMHASH_MIX_B = 11939
+def simhash_words(bits: int = SIMHASH_BITS) -> int:
+    """Number of 32-bit words (sh0, sh1, ...) a signature packs into."""
+    return (bits + 31) // 32
 
 
 def simhash_signatures(
@@ -537,36 +552,67 @@ def simhash_signatures(
     shingle_words: int = 3,
 ) -> DataFrame:
     """SimHash per document: integer shingle hashes (see
-    :func:`shingle_hashes_exploded`) → distinct per doc → affine mix →
-    per-bit conditional counts in one partial+final aggregation. The
-    row-local :func:`simhash` column duplicates the feature expression per
-    bit (codegen blowup); this form hashes each word exactly once.
+    :func:`shingle_hashes_exploded`) → distinct per doc → one affine mix
+    per 31-bit draw → per-bit conditional counts in one partial+final
+    aggregation. The row-local :func:`simhash` column duplicates the
+    feature expression per bit (codegen blowup); this form hashes each
+    word exactly once however wide the signature.
+
+    Output: ``(id_col, sh0[, sh1, ...])`` — one non-negative 32-bit word
+    per column (bit b lives in word b div 32). Packing into 32-bit words
+    instead of one 64-bit value keeps every signature value positive, so
+    band extraction (div/mod) and Hamming (xor + bit_count) never touch a
+    sign bit on either engine. Global bit b draws local bit (b mod 31) of
+    draw (b div 31) — each draw an independent affine mix mod 2^31-1
+    (SIMHASH_MIX), which is what makes the advertised width honest.
 
     NOT bit-compatible with the row-local :func:`simhash`: the two draw
     feature bits from different hash families (md5 nibbles of shingle
-    strings vs an affine mix of integer shingle hashes), so signatures
+    strings vs affine mixes of integer shingle hashes), so signatures
     from one form must never be Hamming-compared against the other —
-    pick one form per stored corpus. Also note the mixed value is mod
-    2^31-1, so bit 31 of this form is always 0: the effective signature
-    width is 31 bits (band blocking and distances are unaffected; a
-    31-vs-32-bit width only shifts the collision rate marginally)."""
+    pick one form per stored corpus."""
+    ndraws = (bits + SIMHASH_BITS_PER_DRAW - 1) // SIMHASH_BITS_PER_DRAW
+    if ndraws > len(SIMHASH_MIX):
+        raise ValueError(
+            f"{bits} bits needs {ndraws} draws; SIMHASH_MIX has "
+            f"{len(SIMHASH_MIX)} — extend the published family (the oracle "
+            f"mirrors these constants)"
+        )
     hashed = shingle_hashes_exploded(df, id_col, text_col, shingle_words or 3)
     distinct = hashed.dropDuplicates([id_col, "__s"])
     mixed = distinct.select(
         id_col,
-        ((F.lit(SIMHASH_MIX_A) * F.col("__s") + F.lit(SIMHASH_MIX_B))
-         % F.lit(MINHASH_P)).alias("__v"),
+        *[
+            ((F.lit(a) * F.col("__s") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"__v{k}"
+            )
+            for k, (a, b) in enumerate(SIMHASH_MIX[:ndraws])
+        ],
     )
     bit_counts = [
-        F.sum((F.expr(f"__v div {1 << b}") % 2).cast("int")).alias(f"__c{b}")
+        F.sum(
+            (
+                F.expr(
+                    f"__v{b // SIMHASH_BITS_PER_DRAW} div "
+                    f"{1 << (b % SIMHASH_BITS_PER_DRAW)}"
+                )
+                % 2
+            ).cast("int")
+        ).alias(f"__c{b}")
         for b in range(bits)
     ]
     agged = mixed.groupBy(id_col).agg(F.count("*").alias("__n"), *bit_counts)
-    sh = sum(
-        F.when(F.col(f"__c{b}") * 2 > F.col("__n"), F.lit(1 << b)).otherwise(0)
-        for b in range(bits)
-    ).cast("bigint")
-    return agged.select(F.col(id_col), sh.alias("sh"))
+    words = []
+    for w in range(simhash_words(bits)):
+        word = sum(
+            F.when(
+                F.col(f"__c{b}") * 2 > F.col("__n"),
+                F.lit(1 << (b - 32 * w)),
+            ).otherwise(0)
+            for b in range(32 * w, min(32 * (w + 1), bits))
+        ).cast("bigint")
+        words.append(word.alias(f"sh{w}"))
+    return agged.select(F.col(id_col), *words)
 
 
 def simhash_dedup_pairs(
@@ -574,31 +620,57 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on byte-bands:
-    Hamming(a,b) <= 3 over 32 bits ⇒ at least one of the 4 bytes is equal,
-    so the byte-band join loses no true pair while avoiding n² compare."""
-    base = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    """Near-dup pairs by SimHash Hamming distance, blocked on 4 equal-width
+    bands: Hamming(a,b) <= 3 ⇒ at least one of the 4 bands is untouched
+    (pigeonhole), so the band join loses no true pair at the default
+    threshold while avoiding the n² compare. 64 bits / 4 bands / hamming 3
+    is exactly the Manku et al. (WWW'07) web-scale configuration; above
+    hamming 3 the blocking becomes approximate (documented, not silent)."""
+    if bits % 4:
+        raise ValueError("band blocking needs bits divisible by 4")
+    band_bits = bits // 4
+    per_word = max(1, 32 // band_bits)  # bands carved per 32-bit word
+    base = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
+    sig_cols = [f"sh{w}" for w in range(simhash_words(bits))]
+    band_vals = [
+        (
+            (F.col(sig_cols[i // per_word]) / F.lit(1 << (band_bits * (i % per_word))))
+            .cast("bigint")
+            % F.lit(1 << band_bits)
+        )
+        for i in range(4)
+    ]
     banded = base.select(
         id_col,
-        "sh",
-        F.posexplode(simhash_bytes(F.col("sh"))).alias("band_idx", "band_val"),
+        *sig_cols,
+        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
     )
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val"
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in sig_cols],
+        "band_idx",
+        "band_val",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val"
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in sig_cols],
+        "band_idx",
+        "band_val",
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = sum(
+        F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        for c in sig_cols
+    )
     # merge hint: see lsh_candidate_pairs — lets the signature shuffle be
     # shared between the two sides instead of re-computed for a broadcast
     return (
         a.join(b.hint("merge"), on=["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
-        # Hamming BEFORE the pair-dedup shuffle: byte-bands collide by
-        # chance at ~1/256 per band, so the candidate set is dominated by
+        # Hamming BEFORE the pair-dedup shuffle: bands collide by chance
+        # at ~1/2^band_bits per band, so the candidate set is dominated by
         # far pairs — filtering first shrinks the dropDuplicates exchange
         # from every chance collision down to the true near-dups. Result
         # is identical (hamming is a function of the dedup key).

@@ -166,14 +166,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    # integer shingle hashes + affine mix, mirroring
-    # operators.dedup.simhash_signatures
-    bit_cnts = ",\n         ".join(
-        f"sum((v // {1 << b}) % 2) AS c{b}" for b in range(D.SIMHASH_BITS)
+    # integer shingle hashes + one independent affine mix per 31-bit draw,
+    # mirroring operators.dedup.simhash_signatures (64-bit, two 32-bit
+    # words sh0/sh1 so no value ever touches a sign bit in either engine)
+    bits = D.SIMHASH_BITS
+    bpd = D.SIMHASH_BITS_PER_DRAW
+    ndraws = (bits + bpd - 1) // bpd
+    mixes = ",\n         ".join(
+        f"({a} * s + {b}) % {D.MINHASH_P} AS v{k}"
+        for k, (a, b) in enumerate(D.SIMHASH_MIX[:ndraws])
     )
-    sh = " + ".join(
-        f"(CASE WHEN c{b} * 2 > n THEN {1 << b} ELSE 0 END)"
-        for b in range(D.SIMHASH_BITS)
+    bit_cnts = ",\n         ".join(
+        f"sum((v{b // bpd} // {1 << (b % bpd)}) % 2) AS c{b}"
+        for b in range(bits)
+    )
+    words = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN c{b} * 2 > n THEN {1 << (b - 32 * w)} ELSE 0 END)"
+            for b in range(32 * w, min(32 * (w + 1), bits))
+        )
+        + f" AS BIGINT) AS sh{w}"
+        for w in range(D.simhash_words(bits))
     )
     return f"""
 wh_t AS (
@@ -182,30 +196,48 @@ wh_t AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLE_HASHES})) AS s FROM wh_t
 ), hashed AS (
   SELECT doc_id,
-         ({D.SIMHASH_MIX_A} * s + {D.SIMHASH_MIX_B}) % {D.MINHASH_P} AS v
+         {mixes}
   FROM feats
 ), cnts AS (
   SELECT doc_id, count(*) AS n,
          {bit_cnts}
   FROM hashed GROUP BY doc_id
 ), sh_t AS (
-  SELECT doc_id, CAST({sh} AS BIGINT) AS sh FROM cnts
+  SELECT doc_id, {words} FROM cnts
 )"""
 
+
+def _simhash_band_sql(i: int) -> str:
+    """Band i of 4: band_bits-wide slice carved out of word i // per_word."""
+    band_bits = D.SIMHASH_BITS // 4
+    per_word = max(1, 32 // band_bits)
+    return (
+        f"(sh{i // per_word} // {1 << (band_bits * (i % per_word))}) "
+        f"% {1 << band_bits}"
+    )
+
+
+_SIMHASH_WORD_COLS = ", ".join(
+    f"sh{w}" for w in range(D.simhash_words(D.SIMHASH_BITS))
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"bit_count(xor(a.sh{w}, b.sh{w}))"
+    for w in range(D.simhash_words(D.SIMHASH_BITS))
+)
 
 _SIMHASH_ORACLE = f"""
 WITH {_CORPUS_SQL.strip()},
 {_simhash_sql().strip()},
 banded AS (
   {" UNION ALL ".join(
-    f"SELECT doc_id, sh, {i} AS band_idx, (sh // {256 ** i}) % 256 AS band_val "
-    f"FROM sh_t"
+    f"SELECT doc_id, {_SIMHASH_WORD_COLS}, {i} AS band_idx, "
+    f"{_simhash_band_sql(i)} AS band_val FROM sh_t"
     for i in range(4)
   )}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         CAST({_SIMHASH_HAMMING} AS INTEGER) AS hamming
   FROM banded a
   JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -217,8 +249,11 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 
 @query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs, byte-band blocked (Hamming ≤ 3 over
-    32 bits ⇒ ≥1 of 4 bytes equal, so the blocking loses no true pair)."""
+    """SimHash(64-bit) near-dup pairs, blocked on 4 16-bit bands (Hamming
+    ≤ 3 over 64 bits ⇒ ≥1 of 4 bands equal, so the blocking loses no true
+    pair) — the Manku et al. WWW'07 web-scale configuration. 64-bit width
+    is what keeps precision usable past ~10^5 docs: the 32-bit family
+    measured precision 0.045 at 500k docs (SCALE.md detector pricing)."""
     return D.simhash_dedup_pairs(
         _corpus(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3
     )
@@ -602,7 +637,7 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_simhash_eval", oracle=_pair_eval_oracle(_SIMHASH_ORACLE))
 def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same pricing for the SimHash(32-bit, Hamming <= 3) detector:
+    """The same pricing for the SimHash(64-bit, Hamming <= 3) detector:
     SimHash targets angular similarity rather than set Jaccard, so its
     precision/recall against the Jaccard-0.5 planted truth quantifies
     the detector-family trade-off on identical ground truth — the

@@ -48,13 +48,13 @@ def test_minhash_finds_planted_dups_not_distinct_docs(spark):
 def test_simhash_identical_docs_hamming_zero(spark):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in D.simhash_dedup_pairs(_corpus(spark), max_hamming=32).collect()
+        for r in D.simhash_dedup_pairs(_corpus(spark), max_hamming=64).collect()
     }
     assert pairs[(1, 2)] == 0
-    # near-dup is close, unrelated doc is not
+    # near-dup is close, unrelated doc is not (distances over 64 bits)
     if (1, 3) in pairs:
-        assert pairs[(1, 3)] <= 8
-    assert pairs.get((1, 4), 33) > 8 or (1, 4) not in pairs
+        assert pairs[(1, 3)] <= 16
+    assert pairs.get((1, 4), 65) > 16 or (1, 4) not in pairs
 
 
 def test_ngram_jaccard(spark):
@@ -90,7 +90,37 @@ def test_embedding_near_dup_blocked(spark):
 def test_simhash_signature_deterministic(spark):
     a = D.simhash_signatures(_corpus(spark)).collect()
     b = D.simhash_signatures(_corpus(spark)).collect()
-    assert {r["doc_id"]: r["sh"] for r in a} == {r["doc_id"]: r["sh"] for r in b}
+    key = lambda r: (r["sh0"], r["sh1"])  # noqa: E731
+    assert {r["doc_id"]: key(r) for r in a} == {r["doc_id"]: key(r) for r in b}
+
+
+def test_simhash_64_bits_are_honest(spark):
+    """The two 32-bit words must come from INDEPENDENT draws: under the
+    old b % 32 duplication a '64-bit' signature had sh1 == a masked copy
+    of sh0's bit pattern, so the halves never disagreed. Words live in
+    [0, 2^32) (no sign bit ever set), and at least one fixture doc must
+    have sh0 != sh1-reinterpreted bits (i.e. the halves genuinely differ)."""
+    rows = D.simhash_signatures(_corpus(spark)).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["sh0"] < (1 << 32) and 0 <= r["sh1"] < (1 << 32)
+    # independence smoke: the low 31 bits of the two words differ for at
+    # least one doc (a duplicated hash family would make them identical
+    # for EVERY doc, since bits 32..62 would replay bits 0..30)
+    mask = (1 << 31) - 1
+    assert any((r["sh0"] & mask) != (r["sh1"] & mask) for r in rows)
+
+
+def test_simhash_row_local_wide_bits_are_seeded(spark):
+    """Row-local simhash(bits=63): bits 32..62 draw from a seeded second
+    md5, so the high word is not a copy of the low word's bit pattern."""
+    df = _corpus(spark)
+    sh = D.simhash("text", bits=63)
+    rows = df.select("doc_id", sh.alias("sh")).collect()
+    assert rows
+    lo = lambda v: v & ((1 << 31) - 1)  # noqa: E731
+    hi = lambda v: (v >> 32) & ((1 << 31) - 1)  # noqa: E731
+    assert any(lo(r["sh"]) != hi(r["sh"]) for r in rows)
 
 
 def test_minhash_nondefault_production_params(spark):

@@ -147,3 +147,24 @@ def test_ivf_assign_deterministic_tiebreak(spark):
     assert len(rows) == 1
     assert rows[0]["centroid_id"] == 3  # tie at dist 5.0 -> min centroid_id
     assert rows[0]["label"] == "mid"  # carried columns survive the argmin
+
+
+def test_ensure_parallelism_guard_decisions(spark):
+    """The parallelism guard must (a) leave small plans untouched (the
+    shuffle would cost more than the single-split work it spreads), and
+    (b) make the same decision the old df.rdd probe made — the partition
+    count now comes from the plan's internal RDD, which must agree."""
+    import pyspark.sql.functions as F
+
+    from create_proposals_using_vector_db_public_spark.operators import knn
+
+    small = spark.range(10).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    # small estimate -> returned as-is (no Exchange added to the plan)
+    assert "Exchange" not in knn.ensure_parallelism(small)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    # the plan-level partition probe agrees with the legacy Python-RDD one
+    for df in (small, spark.range(0, 100000, 1, 2).toDF("id")):
+        plan_n = int(df._jdf.queryExecution().toRdd().getNumPartitions())
+        assert plan_n == df.rdd.getNumPartitions()
