@@ -67,6 +67,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_minhash_eval": {
         "nested_loop": "two 1-row metric aggregates cross joined"
     },
+    "q_minhash_wide_eval": {
+        "nested_loop": "two 1-row metric aggregates cross joined"
+    },
     "q_simhash_eval": {
         "nested_loop": "two 1-row metric aggregates cross joined"
     },
