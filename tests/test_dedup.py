@@ -180,3 +180,79 @@ def test_winnow_finds_copied_passage(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --- independent pure-Python references ---------------------------------------
+#
+# The DuckDB oracles MIRROR the engine's construction, so a conceptual bug
+# shared by both (wrong majority rule, wrong draw mapping, wrong Horner
+# combine) would pass every parity sweep. These references re-derive the
+# signatures from the documented algorithm with nothing but hashlib and
+# integer arithmetic — a third, independent implementation.
+
+def _py_word_hashes(text):
+    import hashlib
+    import re
+
+    words = [w.strip() for w in re.split(r"\s+", text)]
+    words = [w for w in words if w]
+    return [
+        int(hashlib.md5(w.encode()).hexdigest()[: D.MINHASH_BASE_HEX], 16)
+        for w in words
+    ]
+
+
+def _py_shingle_hashes(text, k=3):
+    wh = _py_word_hashes(text)
+    out = []
+    for i in range(len(wh) - k + 1):
+        s = wh[i]
+        for j in range(1, k):
+            s = (s * D.SHINGLE_COMBINE + wh[i + j]) % D.MINHASH_P
+        out.append(s)
+    return out
+
+
+def _py_simhash_words(text, bits=D.SIMHASH_BITS):
+    feats = set(_py_shingle_hashes(text))
+    n = len(feats)
+    words = [0] * D.simhash_words(bits)
+    for b in range(bits):
+        a, c = D.SIMHASH_MIX[b // D.SIMHASH_BITS_PER_DRAW]
+        ones = sum(
+            ((a * s + c) % D.MINHASH_P >> (b % D.SIMHASH_BITS_PER_DRAW)) & 1
+            for s in feats
+        )
+        if ones * 2 > n:
+            words[b // 32] |= 1 << (b % 32)
+    return tuple(words)
+
+
+def test_simhash_signatures_match_python_reference(spark):
+    got = {
+        r["doc_id"]: (r["sh0"], r["sh1"])
+        for r in D.simhash_signatures(_corpus(spark)).collect()
+    }
+    want = {
+        i: _py_simhash_words(t)
+        for i, t in [(1, TEXT), (2, TEXT), (3, TEXT + " extra tail words"),
+                     (4, OTHER)]
+    }
+    assert got == want
+
+
+def test_minhash_signatures_match_python_reference(spark):
+    got = {
+        r["doc_id"]: tuple(r[f"mh{j}"] for j in range(D.MINHASH_NUM_HASHES))
+        for r in D.minhash_signatures(_corpus(spark)).collect()
+    }
+    want = {}
+    for i, t in [(1, TEXT), (2, TEXT), (3, TEXT + " extra tail words"),
+                 (4, OTHER)]:
+        sh = _py_shingle_hashes(t)
+        want[i] = tuple(
+            min((D.affine_params(j)[0] * s + D.affine_params(j)[1])
+                % D.MINHASH_P for s in sh)
+            for j in range(D.MINHASH_NUM_HASHES)
+        )
+    assert got == want
