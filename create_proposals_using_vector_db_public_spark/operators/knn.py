@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors as V
+from .plan_stats import plan_size_bytes
 
 
 # Below this optimizer-estimated input size the parallelism guard is a
@@ -56,14 +57,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     corpus already has more splits than cores) and the shuffle it adds
     moves each row once.
     """
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if size < _ENSURE_MIN_BYTES:
-            return df
-    except Exception:
-        pass  # stats unavailable -> fall through to the partition check
+    size = plan_size_bytes(df)
+    if size is not None and size < _ENSURE_MIN_BYTES:
+        return df
+    # stats unavailable -> fall through to the partition check
     shuffle_n = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )

