@@ -194,8 +194,10 @@ def _py_word_hashes(text):
     import hashlib
     import re
 
-    words = [w.strip() for w in re.split(r"\s+", text)]
-    words = [w for w in words if w]
+    # split on JAVA's \s class ([ \t\n\x0B\f\r]) — Python's \s also eats
+    # unicode whitespace (NBSP etc.), which Spark's tokenizer does NOT;
+    # the reference must reproduce the engine contract, not Python's
+    words = [w for w in re.split(r"[ \t\n\x0B\f\r]+", text) if w]
     return [
         int(hashlib.md5(w.encode()).hexdigest()[: D.MINHASH_BASE_HEX], 16)
         for w in words

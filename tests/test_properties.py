@@ -576,3 +576,62 @@ def test_pair_eval_is_detector_convention_invariant(spark):
     b = _pair_eval(spark, SF, corpus, messy).collect()[0]
     assert a.asDict() == b.asDict()
     assert a.n_emitted == 2
+
+
+def _py_simhash_words(text, bits=D.SIMHASH_BITS):
+    """Independent 64-bit SimHash reference: Java-\\s tokenize, md5-prefix
+    word hashes, Horner 3-shingle combine, distinct, one affine mix per
+    31-bit draw, per-bit majority. Mirrors the DOCUMENTED algorithm, not
+    the engine's expressions — see tests/test_dedup.py for the fixed-
+    corpus version; this one feeds the fuzzing property below."""
+    import hashlib
+    import re
+
+    wh = [
+        int(hashlib.md5(w.encode()).hexdigest()[: D.MINHASH_BASE_HEX], 16)
+        for w in re.split(r"[ \t\n\x0B\f\r]+", text)
+        if w
+    ]
+    feats = set()
+    for i in range(len(wh) - 2):
+        s = wh[i]
+        for j in (1, 2):
+            s = (s * D.SHINGLE_COMBINE + wh[i + j]) % D.MINHASH_P
+        feats.add(s)
+    if not feats:
+        return None
+    n = len(feats)
+    words = [0] * D.simhash_words(bits)
+    for b in range(bits):
+        a, c = D.SIMHASH_MIX[b // D.SIMHASH_BITS_PER_DRAW]
+        ones = sum(
+            ((a * s + c) % D.MINHASH_P >> (b % D.SIMHASH_BITS_PER_DRAW)) & 1
+            for s in feats
+        )
+        if ones * 2 > n:
+            words[b // 32] |= 1 << (b % 32)
+    return tuple(words)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_TEXTS)
+def test_simhash_signatures_match_python_reference_fuzzed(spark, texts):
+    """64-bit SimHash vs the independent Python reference over adversarial
+    text (whitespace runs, CJK, NBSP-class unicode): the engine and its
+    DuckDB oracle MIRROR each other, so only a third implementation can
+    catch a shared contract bug — especially the tokenizer-separator class
+    this generator attacks. Docs with < 3 words have no shingles and must
+    be ABSENT from the signature output (documented contract)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: long, t: string"
+    )
+    got = {
+        r["i"]: (r["sh0"], r["sh1"])
+        for r in D.simhash_signatures(df, id_col="i", text_col="t").collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_simhash_words(t)
+        if want is None:
+            assert i not in got, (i, t, got.get(i))
+        else:
+            assert got.get(i) == want, (i, t)
