@@ -184,3 +184,80 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(d2, cand["neg_id"] == d2["_nd"]).select(
         "doc_id", "k", "neg_id", "neg_lang"
     )
+
+
+# --- temperature resampling (alpha = 0.5 language rebalancing) ----------------
+
+_TS_D = 1_000_000  # micro-rate denominator: rate6 in [0, 1e6]
+
+_TEMPERATURE_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+m AS (SELECT min(n_docs) AS n_min FROM c),
+r AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * {_TS_D})
+              AS BIGINT) AS rate6
+  FROM c, m
+),
+k AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN r USING (lang)
+  WHERE {d_h64("CAST(d.doc_id AS VARCHAR)", "temp")} % {_TS_D} < r.rate6
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, r.rate6,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k USING (lang)
+"""
+
+
+@query("q_temperature_sample", oracle=_TEMPERATURE_ORACLE)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling of the language mix at alpha = 0.5 — the
+    multilingual-corpus rebalancing of XLM-R (Conneau et al. 2020 §3.1)
+    and mT5: sampling probability per language ∝ p_lang^alpha, so
+    high-resource languages are down-sampled and the rarest language is
+    kept whole. Where q_domain_mix consumes an EXPLICIT weight vector,
+    this derives the rates from the observed distribution itself: at
+    alpha = 0.5 the per-language keep rate collapses to
+    sqrt(n_min / n_lang) (the normalizer cancels), and documents are kept
+    by deterministic md5 threshold — reproducible lineage, no RNG state.
+
+    alpha is fixed at 0.5 deliberately: IEEE-754 requires sqrt to be
+    correctly rounded, so Spark and DuckDB produce bit-identical rates,
+    where a general pow(p, alpha) is NOT correctly rounded and could
+    diverge in the last ulp across libm implementations (the same
+    engine-drift class the integer moment algebra elsewhere avoids).
+
+    Scale shape: the rate table is |languages| rows, computed ONCE (lazy
+    localCheckpoint — without it Catalyst re-expands the counts+min
+    subtree into every consumer and the corpus is scanned four times;
+    with it, exactly two passes: one for the counts, one for the keep
+    filter) and broadcast into the keep pass. The keep decision is a
+    narrow per-row hash filter, and the output is one partial+final
+    count per language — no shuffle of document rows at all."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")) * _TS_D
+        ).cast("bigint").alias("rate6"),
+    ).localCheckpoint(eager=False)
+    keep = h64(F.col("doc_id").cast("string"), seed="temp") % _TS_D
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "rate6")), "lang")
+        .filter(keep < F.col("rate6"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "rate6",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )

@@ -100,3 +100,27 @@ def test_negative_sample_contract(spark):
     # negatives are spread, not collapsed onto a few ids: at least half
     # the id space is used as a negative somewhere
     assert len({r.neg_id for r in rows}) > n // 2
+
+
+def test_temperature_sample_contract(spark):
+    """alpha=0.5 temperature resampling invariants: the rarest language
+    keeps rate 1e6 (every doc survives the hash threshold), rates fall
+    monotonically with language size (rate = sqrt(n_min/n_lang)), and no
+    language keeps more docs than it has."""
+    from create_proposals_using_vector_db_public_spark.plans import QUERIES
+
+    rows = {
+        r.lang: r
+        for r in QUERIES["q_temperature_sample"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows
+    n_min = min(r.n_docs for r in rows.values())
+    for r in rows.values():
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.n_docs == n_min:
+            assert r.rate6 == 1_000_000 and r.n_kept == r.n_docs
+    by_size = sorted(rows.values(), key=lambda r: r.n_docs)
+    for a, b in zip(by_size, by_size[1:]):
+        assert a.rate6 >= b.rate6  # bigger language, smaller keep rate
