@@ -80,8 +80,9 @@ HEADLINE = [
     "q_triangle_count",   # oriented-wedge closure join
     "q_reident_risk",     # quasi-identifier group-size risk
     "q_dataset_card",     # corpus-wide multi-stat report
-    # round-5 addition
+    # round-5 additions
     "q_minhash_wide_eval",  # production-shaped 16/4 LSH pricing
+    "q_temperature_sample",  # alpha=0.5 language-mix resampling
 ]
 
 

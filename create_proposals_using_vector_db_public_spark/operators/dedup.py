@@ -491,10 +491,26 @@ SIMHASH_BITS = 64
 # by reusing one draw's bits would collide exactly like a 31-bit one —
 # perfectly correlated halves).
 SIMHASH_BITS_PER_DRAW = 31
-# One (a, b) mix per draw: classic full-period Lehmer/L'Ecuyer multipliers
-# mod 2^31-1. Shingle hashes are < 2^31, so every product stays < 2^48 —
-# exact under Spark's ANSI mode and DuckDB BIGINT alike.
-SIMHASH_MIX = ((48271, 11939), (69621, 12345), (40692, 7777))
+# One (a, b) mix per draw: small classic Lehmer/L'Ecuyer multipliers.
+# 48271 (Park-Miller 1988 revision), 69621, 16807 (MINSTD), and 39373 are
+# verified primitive roots mod 2^31-1 (full period); 40692 is L'Ecuyer's
+# full-period multiplier for the close prime 2147483399, kept unchanged so
+# stored 64-bit signatures stay stable. All multipliers are < 2^17 and
+# shingle hashes are < 2^31, so every product stays < 2^48 — exact under
+# Spark's ANSI mode and DuckDB BIGINT alike. Five draws x 31 bits cap the
+# signature width at 155 bits, which covers the 128-bit config.
+# EXTENSION RULE (if anything ever needs >155 bits): append another
+# primitive root mod 2^31-1 that is < 2^17 — verify with
+# all(pow(a, (p-1)//q, p) != 1 for q in (2,3,7,11,31,151,331)), p=2^31-1.
+# The DuckDB oracle mirrors whatever is here (plans/dedup_queries.py
+# generates its SQL from this table), so no second edit is needed.
+SIMHASH_MIX = (
+    (48271, 11939),
+    (69621, 12345),
+    (40692, 7777),
+    (16807, 5551),
+    (39373, 9999),
+)
 
 
 def simhash(
@@ -556,7 +572,11 @@ def simhash_signatures(
     per 31-bit draw → per-bit conditional counts in one partial+final
     aggregation. The row-local :func:`simhash` column duplicates the
     feature expression per bit (codegen blowup); this form hashes each
-    word exactly once however wide the signature.
+    word exactly once at any supported width. Width is capped at
+    31 x len(SIMHASH_MIX) bits (155 with the published 5-draw family —
+    covering the 128-bit config); past the cap the function fails loudly
+    rather than silently correlating bits. To extend, follow the
+    EXTENSION RULE documented at SIMHASH_MIX.
 
     Output: ``(id_col, sh0[, sh1, ...])`` — one non-negative 32-bit word
     per column (bit b lives in word b div 32). Packing into 32-bit words
@@ -627,10 +647,25 @@ def simhash_dedup_pairs(
     (pigeonhole), so the band join loses no true pair at the default
     threshold while avoiding the n² compare. 64 bits / 4 bands / hamming 3
     is exactly the Manku et al. (WWW'07) web-scale configuration; above
-    hamming 3 the blocking becomes approximate (documented, not silent)."""
+    hamming 3 the blocking becomes approximate (documented, not silent).
+
+    Width guard: the 4 bands must TILE the 32-bit signature words — i.e.
+    band_bits (= bits/4) must divide 32 or be a multiple of 32 (so bits is
+    a power of two >= 4, or a multiple of 128). A non-tiling width like 40
+    would leave bits 30-31 outside every band: recall would survive (an
+    untouched bit perturbs no band, so the pigeonhole bound holds a
+    fortiori) but the exact Manku band layout this docstring promises
+    would not, so such widths are rejected rather than silently blocked
+    on a weaker layout."""
     if bits % 4:
         raise ValueError("band blocking needs bits divisible by 4")
     band_bits = bits // 4
+    if not (32 % band_bits == 0 or band_bits % 32 == 0):
+        raise ValueError(
+            f"bits={bits} gives band_bits={band_bits}, which does not tile "
+            f"the 32-bit signature words (need band_bits | 32 or "
+            f"32 | band_bits): use a power-of-two width (32, 64, 128, ...)"
+        )
     per_word = max(1, 32 // band_bits)  # bands carved per 32-bit word
     base = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
     sig_cols = [f"sh{w}" for w in range(simhash_words(bits))]

@@ -203,6 +203,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         prev.unpersist(blocking=False)
     _PR_CACHE["u"] = u
+    # record the decision (and whether the probe resolved) so tests can
+    # assert the gate genuinely flipped rather than silently re-running
+    # the broadcast path when the size estimate is unavailable
+    _PR_CACHE["mode"] = "broadcast" if bcast_state else "shuffle"
+    _PR_CACHE["est"] = est
     d = u.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     state = d.select(
         F.col("src").alias("node"), "deg", F.lit(_PR_SCALE).cast("bigint").alias("r")

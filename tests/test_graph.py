@@ -69,8 +69,16 @@ def test_pagerank_shuffle_fallback_matches_broadcast(spark, monkeypatch):
     billion-node graph needs instead of an OOMing broadcast build — and
     the scaled-integer ranks must be bit-identical either way."""
     want = [tuple(r) for r in q_pagerank(spark, SF).collect()]
+    assert graph_queries._PR_CACHE["mode"] == "broadcast"
+    # the gate must be decidable on this fixture: an unresolved Catalyst
+    # size probe (est None) keeps broadcast regardless of the limit, which
+    # would make the monkeypatched run below compare broadcast against
+    # itself — fail here instead of passing vacuously
+    assert graph_queries._PR_CACHE["est"] is not None
     monkeypatch.setattr(graph_queries, "_PR_BCAST_MAX_BYTES", 0)
     got = [tuple(r) for r in q_pagerank(spark, SF).collect()]
+    # the decision actually flipped: this run exercised the shuffle join
+    assert graph_queries._PR_CACHE["mode"] == "shuffle"
     assert got == want
     # sanity: the fixture graph genuinely ranks (not an empty result)
     assert len(got) == 20
