@@ -635,3 +635,27 @@ def test_simhash_signatures_match_python_reference_fuzzed(spark, texts):
             assert i not in got, (i, t, got.get(i))
         else:
             assert got.get(i) == want, (i, t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_TEXTS)
+def test_simhash_128_bit_matches_python_reference_fuzzed(spark, texts):
+    """The same third-implementation fuzz at the 128-bit width: all four
+    32-bit words must match the Python reference on adversarial text, so
+    the two round-6 mix draws (16807, 39373) are pinned by fuzzing, not
+    just the fixed corpus in tests/test_dedup.py."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: long, t: string"
+    )
+    got = {
+        r["i"]: tuple(r[f"sh{w}"] for w in range(4))
+        for r in D.simhash_signatures(
+            df, id_col="i", text_col="t", bits=128
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_simhash_words(t, bits=128)
+        if want is None:
+            assert i not in got, (i, t, got.get(i))
+        else:
+            assert got.get(i) == want, (i, t)
