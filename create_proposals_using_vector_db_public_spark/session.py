@@ -22,6 +22,7 @@ def get_spark(
     app_name: str = "create-proposals-spark",
     shuffle_partitions: int | None = None,
     master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -45,4 +46,9 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
     )
+    # adversarial-planner overrides (tools/parity.py --conf): results must
+    # be invariant to planner mode, so sweeps may disable AQE or force
+    # shuffle joins here without touching the production defaults above
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

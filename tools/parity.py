@@ -17,6 +17,13 @@ ORDER — the driver's bounded window (50 in rounds 1-2). The round-1
 lesson, institutionalized: a green full-registry run says nothing about
 which queries the driver will actually reach; this mode replicates the
 driver's exact slice.
+
+``--conf key=value`` (repeatable) overlays adversarial planner settings
+on the session — e.g. ``--conf spark.sql.adaptive.enabled=false`` (no
+runtime re-plan) or ``--conf spark.sql.autoBroadcastJoinThreshold=-1``
+(every non-hinted join becomes a shuffle join). Results must be
+identical under any planner mode; this is the join-strategy/AQE
+determinism axis the ``--partitions`` sweep doesn't cover.
 """
 
 from __future__ import annotations
@@ -166,6 +173,22 @@ def main() -> int:
             )
             return 2
         del args[i : i + 2]
+    # --conf k=v (repeatable): run the sweep under an adversarial planner
+    # configuration — e.g. spark.sql.adaptive.enabled=false (no runtime
+    # re-plan) or spark.sql.autoBroadcastJoinThreshold=-1 (every
+    # non-hinted join becomes a shuffle join). Results must be identical
+    # under ANY planner mode; this is the join-strategy/AQE determinism
+    # axis the --partitions sweep doesn't cover.
+    extra_conf: dict[str, str] = {}
+    while "--conf" in args:
+        i = args.index("--conf")
+        try:
+            k, v = args[i + 1].split("=", 1)
+            extra_conf[k] = v
+        except (IndexError, ValueError):
+            print("usage: parity.py [--conf key=value] ...  (needs key=value)")
+            return 2
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(QUERIES)
     if prefix is not None:
@@ -174,7 +197,9 @@ def main() -> int:
             return 2
         names = list(QUERIES)[:prefix]
         print(f"checking the driver's {prefix}-entry registry prefix")
-    spark = get_spark("parity", shuffle_partitions=partitions)
+    spark = get_spark(
+        "parity", shuffle_partitions=partitions, extra_conf=extra_conf or None
+    )
     con = duck_connect(sf_dir)
     failed = []
     for name in names:
