@@ -201,7 +201,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-query runs hold at most one pagerank cache entry
     prev = _PR_CACHE.pop("u", None)
     if prev is not None:
-        prev.unpersist(blocking=False)
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            # the cached edge list belongs to a SparkSession that has been
+            # stopped since the last invocation — its blocks died with the
+            # session, so there is nothing to evict and the stale handle
+            # must not poison the new session's run
+            pass
     _PR_CACHE["u"] = u
     # record the decision (and whether the probe resolved) so tests can
     # assert the gate genuinely flipped rather than silently re-running

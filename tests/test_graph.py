@@ -84,6 +84,24 @@ def test_pagerank_shuffle_fallback_matches_broadcast(spark, monkeypatch):
     assert len(got) == 20
 
 
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_pagerank_survives_stale_cache_from_dead_session(spark):
+    """q_pagerank evicts the previous invocation's cached edge list; if
+    that handle came from a SparkSession that has since been STOPPED,
+    unpersist raises (dead driver endpoint) — the eviction must swallow
+    that and proceed, or a session restart poisons every later run."""
+
+    class _DeadHandle:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("driverEndpoint() is null (session stopped)")
+
+    graph_queries._PR_CACHE["u"] = _DeadHandle()
+    got = q_pagerank(spark, SF).collect()
+    assert len(got) == 20
+    # the stale handle was replaced by the new run's live cache
+    assert not isinstance(graph_queries._PR_CACHE["u"], _DeadHandle)
+
+
 def test_triangle_canonical_orientation_counts_once(spark):
     # K4 has exactly 4 triangles; edges stored once as (low, high)
     edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
