@@ -192,13 +192,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow (dst, c) longs move per iteration — the
     # reuse-a-partitioning-across-stages discipline either way.
     part_key = "dst" if bcast_state else "src"
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        u = _undirected(edges).repartition(n_part, part_key).cache()
-    except ValueError:  # conf may be non-numeric ("auto" on some platforms)
-        u = _undirected(edges).repartition(part_key).cache()
     # scope the cache: evict the previous invocation's edge list so long
-    # multi-query runs hold at most one pagerank cache entry
+    # multi-query runs hold at most one pagerank cache entry. Eviction
+    # MUST happen BEFORE the new cache() call: Spark's CacheManager keys
+    # entries by logical plan, so when the previous invocation used the
+    # same mode its entry IS the new plan's entry — cache-then-evict
+    # no-ops the cache ("already cached") and then removes the shared
+    # entry, silently running every repeated same-session invocation
+    # uncached (caught by the plan-signature pin drifting to the
+    # re-expanded edge-build tree).
     prev = _PR_CACHE.pop("u", None)
     if prev is not None:
         try:
@@ -209,6 +211,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # session, so there is nothing to evict and the stale handle
             # must not poison the new session's run
             pass
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        u = _undirected(edges).repartition(n_part, part_key).cache()
+    except ValueError:  # conf may be non-numeric ("auto" on some platforms)
+        u = _undirected(edges).repartition(part_key).cache()
     _PR_CACHE["u"] = u
     # record the decision (and whether the probe resolved) so tests can
     # assert the gate genuinely flipped rather than silently re-running

@@ -85,6 +85,24 @@ def test_pagerank_shuffle_fallback_matches_broadcast(spark, monkeypatch):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_pagerank_repeat_invocation_stays_cached(spark):
+    """CacheManager keys cache entries by logical plan, so the previous
+    invocation's entry IS the new one's when the mode repeats. The old
+    cache-then-evict order no-opped the cache and then removed the shared
+    entry — every repeated same-session q_pagerank ran uncached. Pin the
+    fix: the SECOND invocation's plan must still read the edge list from
+    InMemoryRelation, and its ranks must match the first's."""
+    first = [tuple(r) for r in q_pagerank(spark, SF).collect()]
+    again = q_pagerank(spark, SF)
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        "repeat invocation lost the edge-list cache (evict-after-cache "
+        "regression)"
+    )
+    assert [tuple(r) for r in again.collect()] == first
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 def test_pagerank_survives_stale_cache_from_dead_session(spark):
     """q_pagerank evicts the previous invocation's cached edge list; if
     that handle came from a SparkSession that has since been STOPPED,
