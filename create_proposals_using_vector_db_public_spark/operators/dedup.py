@@ -650,21 +650,27 @@ def simhash_dedup_pairs(
     hamming 3 the blocking becomes approximate (documented, not silent).
 
     Width guard: the 4 bands must TILE the 32-bit signature words — i.e.
-    band_bits (= bits/4) must divide 32 or be a multiple of 32 (so bits is
-    a power of two >= 4, or a multiple of 128). A non-tiling width like 40
-    would leave bits 30-31 outside every band: recall would survive (an
-    untouched bit perturbs no band, so the pigeonhole bound holds a
-    fortiori) but the exact Manku band layout this docstring promises
-    would not, so such widths are rejected rather than silently blocked
-    on a weaker layout."""
+    band_bits (= bits/4) must divide 32, so bits is a power of two in
+    [4, 128]. A non-tiling width like 40 would leave bits 30-31 outside
+    every band: recall would survive (an untouched bit perturbs no band,
+    so the pigeonhole bound holds a fortiori) but the exact Manku band
+    layout this docstring promises would not. Widths ABOVE 128 are also
+    rejected: their bands span multiple 32-bit words, and the extraction
+    below reads exactly one word per band — accepting them would silently
+    block on that same weaker truncated-band layout (today they are
+    doubly unreachable, since SIMHASH_MIX caps the family at 155 bits and
+    the next tiling width is 256; if the mix family is ever extended past
+    256 bits, band extraction must learn to concatenate band_bits/32
+    whole words per band before this guard is relaxed)."""
     if bits % 4:
         raise ValueError("band blocking needs bits divisible by 4")
     band_bits = bits // 4
-    if not (32 % band_bits == 0 or band_bits % 32 == 0):
+    if 32 % band_bits != 0:
         raise ValueError(
             f"bits={bits} gives band_bits={band_bits}, which does not tile "
-            f"the 32-bit signature words (need band_bits | 32 or "
-            f"32 | band_bits): use a power-of-two width (32, 64, 128, ...)"
+            f"the 32-bit signature words (need band_bits | 32, i.e. a "
+            f"power-of-two width in [4, 128]); widths > 128 need "
+            f"multi-word band extraction, which this blocker does not do"
         )
     per_word = max(1, 32 // band_bits)  # bands carved per 32-bit word
     base = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)

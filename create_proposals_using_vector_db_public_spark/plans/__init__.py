@@ -38,106 +38,108 @@ from . import (  # noqa: F401,E402
 
 # Rebuild the registries in an explicit priority order. The driver checks a
 # bounded 50-entry registry PREFIX per round. The registry is 209 queries /
-# 205 oracles after round 5 added q_minhash_wide_eval and
-# q_temperature_sample (the 4 oracle-less entries are the
-# rows-only-by-design UDF queries). Cumulative driver-green after rounds
-# 1-5 is 207/209 — every query except the two round-5 additions, which
-# post-dated the round-5 window rotation (both since verified oracle-exact
-# by the round-5 judge and by tools/parity.py --exact locally). Round 6
-# therefore rotates the window onto (a) those two queries, slots 1-2 —
-# green closes cumulative coverage at 209/209; (b) the queries whose code
-# round 6 touches, slots 3-4; and (c) the 46 queries with the OLDEST
-# driver evidence (rounds 1-2), for freshness. The tail keeps the standing
-# invariant: oldest-evidence-first, so any harness that checks more than
-# 50 entries re-verifies the stalest rows before the round-5-fresh block
-# at the very end.
+# 205 oracles (the 4 oracle-less entries are the rows-only-by-design UDF
+# queries). Cumulative driver coverage closed at 209/209 in round 6, so
+# from round 7 on the rotation is pure freshness maintenance: slots 1-3
+# re-earn rows for the queries whose code this round touches, then the
+# ENTIRE list — window and tail alike — runs strictly
+# oldest-driver-evidence-first (per-query latest row across
+# CORRECTNESS_r01-r06: 13 round-2 rows, 48 round-3, 50 round-4, 47
+# round-5, 48 round-6 after the touched three are pulled forward). A
+# 50-slot window refreshing oldest-first keeps every query's newest
+# driver row at most ~4 rounds old at steady state.
 _PRIORITY = [
-    # ---- round-6 window, slots 1-2: the ONLY two queries with no
-    # driver CORRECTNESS row (added in round 5 after the window
-    # rotation; both judge-verified oracle-exact and locally
-    # exact-green via tools/parity.py). Green here closes cumulative
-    # driver coverage at 209/209 — the stated bar. ----
-    "q_minhash_wide_eval", "q_temperature_sample",
-    # ---- slots 3-4: queries whose code round 6 touches
-    # (simhash band-tiling guard + width-cap documentation in
-    # operators/dedup.py) — re-earn driver rows on the new code. ----
-    "q_dedup_simhash", "q_simhash_eval",
-    # ---- slots 5-50: oldest driver evidence first (the 22 queries
-    # whose latest row is round 1, then 24 round-2 rows) —
-    # freshness re-verification on current code. ----
-    "q_rollup", "q_topk_per_group", "q_window_running",
-    "q_union_incr", "q_except", "q_string",
-    "q_json_props", "q_date_agg", "q_from_json",
-    "q_window_range", "q_ntile", "q_intersect",
-    "q_stream_window", "q_doc_scan", "q_chunk_split",
-    "q_sha256", "q_hash_antijoin", "q_dedup_exact",
-    "q_dedup_anti", "q_dedup_content", "q_upsert",
-    "q_delete_rebuild", "q_e2e_corpus", "q_knn_cosine",
-    "q_rank_l2", "q_vec_math", "q_knn_join",
-    "q_ann_ivf", "q_corr_stats", "q_approx_distinct",
-    "q_ann_pq", "q_decontaminate", "q_pack_sequences",
-    "q_bloom_join", "q_incremental_agg", "q_gap_fill",
-    "q_full_outer", "q_funnel", "q_retention",
-    "q_scd2", "q_fuzzy_match", "q_pii_scrub",
-    "q_repetition_ratio", "q_boilerplate_lines", "q_dup_clusters",
-    "q_winnow_dups",
+    # ---- round-7 window, slots 1-3: queries whose code round 7
+    # touches — q_pagerank (identical-plan cache reuse replaces the
+    # unconditional evict+recache; the narrowed live-session eviction
+    # guard) and the two SimHash queries (every call now runs through
+    # the tightened band-tiling guard in operators/dedup.py) — re-earn
+    # driver rows on the new code. ----
+    "q_pagerank", "q_dedup_simhash", "q_simhash_eval",
+    # ---- slots 4-16: the 13 queries whose latest driver row is
+    # round 2 — the oldest evidence in the union, refreshed first. ----
+    "q_ann_ivf_kmeans", "q_ann_lsh", "q_ann_recall",
+    "q_event_pattern", "q_gopher_quality", "q_k_anonymity",
+    "q_lag_lead", "q_scalar_subquery", "q_stream_join",
+    "q_stream_stateful", "q_stream_stream_join", "q_udf_trimmed_mean",
+    "q_udtf_tokens",
+    # ---- slots 17-50: the alphabetical head of the 48 round-3 rows
+    # (the next-oldest evidence; the remaining 14 sit immediately
+    # after the window boundary so any harness that checks more than
+    # 50 entries hits them first). ----
+    "q_agg_basic", "q_ann_rerank", "q_anomaly",
+    "q_avg_subquery", "q_bpe_encode", "q_cdc_apply",
+    "q_cms_heavy", "q_compaction", "q_cust_no_orders",
+    "q_dataset_card", "q_dedup_incremental", "q_disjunct_filter",
+    "q_e2e_rag", "q_exists_corr", "q_forecast_revenue",
+    "q_graph_degree", "q_hll_merge", "q_important_parts",
+    "q_join_multiway", "q_knn", "q_large_orders",
+    "q_market_share", "q_min_cost_supplier", "q_minhash_eval",
+    "q_mmr_rerank", "q_nation_volume", "q_nested_in",
+    "q_order_dist", "q_pickle_roundtrip", "q_pickle_stream",
+    "q_priority_mix", "q_product_profit", "q_profile",
+    "q_promo_share",
     # ---- window boundary. Tail: every query below already has a
-    # green driver row; ordered oldest-evidence-first (remaining
-    # round-2 rows, then rounds 3, 4, 5) so any harness that checks
-    # more than 50 entries re-verifies the stalest rows first. ----
-    "q_scalar_subquery", "q_ann_lsh", "q_lag_lead",
-    "q_stream_stateful", "q_ann_ivf_kmeans", "q_ann_recall",
-    "q_stream_join", "q_udf_trimmed_mean", "q_udtf_tokens",
-    "q_gopher_quality", "q_k_anonymity", "q_event_pattern",
-    "q_stream_stream_join", "q_ship_priority", "q_forecast_revenue",
-    "q_nation_volume", "q_product_profit", "q_returned_items",
-    "q_important_parts", "q_order_dist", "q_supplier_cnt",
-    "q_disjunct_filter", "q_waiting_supplier", "q_top_revenue",
-    "q_large_orders", "q_min_cost_supplier", "q_cust_no_orders",
-    "q_promo_share", "q_priority_mix", "q_market_share",
-    "q_profile", "q_anomaly", "q_cdc_apply",
-    "q_zonemap_prune", "q_compaction", "q_graph_degree",
-    "q_triangle_count", "q_exists_corr", "q_avg_subquery",
-    "q_nested_in", "q_join_multiway", "q_pickle_roundtrip",
-    "q_pickle_stream", "q_minhash_eval", "q_winnow_eval",
-    "q_dedup_incremental", "q_ann_rerank", "q_mmr_rerank",
-    "q_query_expansion", "q_e2e_rag", "q_dataset_card",
-    "q_bpe_encode", "q_cms_heavy", "q_hll_merge",
-    "q_sql_interface", "q_window_suite", "q_snapshot_read",
-    "q_knn", "q_agg_basic", "q_semdedup",
-    "q_rrf_fusion", "q_pq_recall", "q_ann_ivfpq",
-    "q_stream_sliding", "q_stream_session", "q_unpivot",
-    "q_cosine_topk", "q_partitioned_sink", "q_chunk_fixed",
-    "q_collocations", "q_bpe_merges", "q_dq_audit",
-    "q_yoy_growth", "q_trigram_typicality", "q_sq_recall",
-    "q_share_of_parent", "q_stream_dedup", "q_interval_overlap",
-    "q_time_rollup", "q_domain_mix", "q_multimodal_meta",
-    "q_ols", "q_contingency", "q_multimodal_frames",
-    "q_skyline", "q_vocab_coverage", "q_inverted_search",
-    "q_ewma_smooth", "q_schema_evolution", "q_table_diff",
-    "q_udf_groupnorm", "q_transitions", "q_ivm_join",
-    "q_split_sections", "q_format_roundtrip", "q_quality_score",
-    "q_lang_id", "q_comma_parse", "q_zorder_layout",
-    "q_salted_join", "q_heavy_hitters", "q_centroid_label",
-    "q_rare_terms", "q_histogram", "q_approx_percentile",
-    "q_grouping_sets", "q_token_count", "q_map_ops",
-    "q_udtf_analyze", "q_udf_arrow", "q_map_arrow",
-    "q_variant_json", "q_corpus_shuffle", "q_dsir_select",
-    "q_negative_sample", "q_ngram_diversity", "q_dedup_url",
-    "q_prefix_complete", "q_reident_risk", "q_multimodal_hist",
-    "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
-    "q_multimodal_features", "q_pagerank", "q_line_dedup",
-    "q_stub_embed", "q_stub_knn", "q_kw_fallback",
-    "q_kw_stopfilter", "q_array_ops", "q_prompt_template",
-    "q_asof_join", "q_range_join", "q_stream_tumbling",
-    "q_salted_agg", "q_stratified_sample", "q_quantize_embedding",
-    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embedding",
-    "q_dedup_fingerprint", "q_sample_hash", "q_tfidf",
-    "q_bm25", "q_sessionize", "q_percentiles",
-    "q_cube", "q_pivot", "q_bucketed_join",
-    "q_sink_roundtrip", "q_scan_filter", "q_project",
-    "q_join_broadcast", "q_join_shuffle", "q_semi",
-    "q_anti", "q_outer", "q_agg_distinct",
+    # green driver row; ordered strictly oldest-evidence-first
+    # (rest of round 3, then rounds 4, 5, 6) so extra driver slots
+    # always re-verify the stalest rows before the freshest. ----
+    "q_query_expansion", "q_returned_items", "q_rrf_fusion",
+    "q_semdedup", "q_ship_priority", "q_snapshot_read",
+    "q_sql_interface", "q_supplier_cnt", "q_top_revenue",
+    "q_triangle_count", "q_waiting_supplier", "q_window_suite",
+    "q_winnow_eval", "q_zonemap_prune",
+    # round-4 rows
+    "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
+    "q_centroid_label", "q_chunk_fixed", "q_collocations",
+    "q_comma_parse", "q_contingency", "q_cosine_topk",
+    "q_domain_mix", "q_dq_audit", "q_ewma_smooth",
+    "q_format_roundtrip", "q_grouping_sets", "q_heavy_hitters",
+    "q_histogram", "q_interval_overlap", "q_inverted_search",
+    "q_ivm_join", "q_lang_id", "q_map_arrow",
+    "q_map_ops", "q_multimodal_frames", "q_multimodal_meta",
+    "q_ols", "q_partitioned_sink", "q_pq_recall",
+    "q_quality_score", "q_rare_terms", "q_salted_join",
+    "q_schema_evolution", "q_share_of_parent", "q_skyline",
+    "q_split_sections", "q_sq_recall", "q_stream_dedup",
+    "q_stream_session", "q_stream_sliding", "q_table_diff",
+    "q_time_rollup", "q_token_count", "q_transitions",
+    "q_trigram_typicality", "q_udf_arrow", "q_udf_groupnorm",
+    "q_udtf_analyze", "q_unpivot", "q_vocab_coverage",
+    "q_yoy_growth", "q_zorder_layout",
+    # round-5 rows
+    "q_agg_distinct", "q_anti", "q_array_ops",
+    "q_asof_join", "q_bm25", "q_bucketed_join",
+    "q_corpus_shuffle", "q_cube", "q_dedup_embedding",
+    "q_dedup_fingerprint", "q_dedup_minhash", "q_dedup_ngram",
+    "q_dedup_url", "q_dsir_select", "q_join_broadcast",
+    "q_join_shuffle", "q_kw_fallback", "q_kw_stopfilter",
+    "q_line_dedup", "q_multimodal_features", "q_multimodal_hist",
+    "q_negative_sample", "q_ngram_diversity", "q_outer",
+    "q_percentiles", "q_pivot", "q_prefix_complete",
+    "q_project", "q_prompt_template", "q_quantize_embedding",
+    "q_range_join", "q_reident_risk", "q_salted_agg",
+    "q_sample_hash", "q_scan_filter", "q_semi",
+    "q_sessionize", "q_sink_roundtrip", "q_stratified_sample",
+    "q_stream_tumbling", "q_stub_embed", "q_stub_knn",
+    "q_tfidf", "q_udf_embed", "q_udf_embed_knn",
+    "q_udf_keywords", "q_variant_json",
+    # round-6 rows (freshest — checked last)
+    "q_ann_ivf", "q_ann_pq", "q_approx_distinct",
+    "q_bloom_join", "q_boilerplate_lines", "q_chunk_split",
+    "q_corr_stats", "q_date_agg", "q_decontaminate",
+    "q_dedup_anti", "q_dedup_content", "q_dedup_exact",
+    "q_delete_rebuild", "q_doc_scan", "q_dup_clusters",
+    "q_e2e_corpus", "q_except", "q_from_json",
+    "q_full_outer", "q_funnel", "q_fuzzy_match",
+    "q_gap_fill", "q_hash_antijoin", "q_incremental_agg",
+    "q_intersect", "q_json_props", "q_knn_cosine",
+    "q_knn_join", "q_minhash_wide_eval", "q_ntile",
+    "q_pack_sequences", "q_pii_scrub", "q_rank_l2",
+    "q_repetition_ratio", "q_retention", "q_rollup",
+    "q_scd2", "q_sha256", "q_stream_window",
+    "q_string", "q_temperature_sample", "q_topk_per_group",
+    "q_union_incr", "q_upsert", "q_vec_math",
+    "q_window_range", "q_window_running", "q_winnow_dups",
 ]
 
 

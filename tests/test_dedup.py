@@ -292,6 +292,11 @@ def test_simhash_width_guards_fail_loudly(spark):
         D.simhash_dedup_pairs(df, bits=40)
     with pytest.raises(ValueError, match="divisible by 4"):
         D.simhash_dedup_pairs(df, bits=42)
+    # bits=256 tiles arithmetically (band_bits=64 is a multiple of 32) but
+    # each band would span TWO words while extraction reads one — must be
+    # rejected up front, not silently blocked on the truncated layout
+    with pytest.raises(ValueError, match="multi-word band"):
+        D.simhash_dedup_pairs(df, bits=256)
 
 
 def test_minhash_signatures_match_python_reference(spark):

@@ -103,21 +103,69 @@ def test_pagerank_repeat_invocation_stays_cached(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_pagerank_identical_plan_reuses_cache(spark):
+    """A repeat invocation whose logical plan equals the cached handle's
+    (same session, same SF, same mode) must REUSE the materialized entry
+    — not evict+recache, which would rebuild the edge list from parquet
+    and forfeit the cross-invocation warm start the bench's second pass
+    relies on. The _PR_CACHE bookkeeping pins which path ran."""
+    first = [tuple(r) for r in q_pagerank(spark, SF).collect()]
+    cached = graph_queries._PR_CACHE["u"]
+    again = q_pagerank(spark, SF)
+    assert graph_queries._PR_CACHE["reused"] is True
+    # the SAME cached DataFrame handle, not a fresh cache() of a new plan
+    assert graph_queries._PR_CACHE["u"] is cached
+    assert [tuple(r) for r in again.collect()] == first
+    # a different SF is a different plan — the reuse must NOT fire there
+    sf2 = "/root/testdata/sf0.01"
+    if os.path.isdir(sf2):
+        q_pagerank(spark, sf2)
+        assert graph_queries._PR_CACHE["reused"] is False
+        assert graph_queries._PR_CACHE["u"] is not cached
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 def test_pagerank_survives_stale_cache_from_dead_session(spark):
     """q_pagerank evicts the previous invocation's cached edge list; if
     that handle came from a SparkSession that has since been STOPPED,
     unpersist raises (dead driver endpoint) — the eviction must swallow
-    that and proceed, or a session restart poisons every later run."""
+    that SILENTLY (no live-session warning: the blocks died with the
+    session) and proceed, or a session restart poisons every later run."""
 
     class _DeadHandle:
         def unpersist(self, blocking=False):
             raise RuntimeError("driverEndpoint() is null (session stopped)")
 
+    # a dead-session handle: the owning session is NOT the current one
     graph_queries._PR_CACHE["u"] = _DeadHandle()
+    graph_queries._PR_CACHE["session"] = object()
     got = q_pagerank(spark, SF).collect()
     assert len(got) == 20
     # the stale handle was replaced by the new run's live cache
     assert not isinstance(graph_queries._PR_CACHE["u"], _DeadHandle)
+    assert graph_queries._PR_CACHE["reused"] is False
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_pagerank_live_session_eviction_failure_is_logged(spark, caplog):
+    """Counterpart to the dead-session test: when the handle's owning
+    session IS the current live session and unpersist still fails, the
+    one-entry cache budget may genuinely be exceeded — that must surface
+    as a warning, not vanish into the dead-session swallow path."""
+
+    class _FailingHandle:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("executor refused to drop blocks")
+
+    graph_queries._PR_CACHE["u"] = _FailingHandle()
+    graph_queries._PR_CACHE["session"] = spark  # demonstrably alive
+    with caplog.at_level("WARNING", logger=graph_queries.__name__):
+        got = q_pagerank(spark, SF).collect()
+    assert len(got) == 20
+    assert any(
+        "eviction failed on a live session" in rec.message
+        for rec in caplog.records
+    ), "live-session eviction failure was swallowed silently"
 
 
 def test_triangle_canonical_orientation_counts_once(spark):

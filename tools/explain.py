@@ -44,7 +44,29 @@ _NODE = re.compile(r"^\(\d+\) ([A-Za-z][\w .]*?)\s*(?:\[codegen id : \d+\])?$",
                    re.M)
 
 
+def _reset_memo_state() -> None:
+    """Signatures pin the canonical FIRST-invocation plan. q_pagerank
+    memoizes its cached edge list across identical-plan invocations
+    (round 7), and a REUSED handle renders with the materialized cache's
+    runtime nodes (ShuffleQueryStage/AQEShuffleRead) instead of the
+    fresh plan — so capture must start from a cold memo or the signature
+    would depend on whatever ran earlier in the session (e.g. the graph
+    tests in a full pytest run)."""
+    from create_proposals_using_vector_db_public_spark.plans import (
+        graph_queries as GQ,
+    )
+
+    prev = GQ._PR_CACHE.pop("u", None)
+    GQ._PR_CACHE.pop("session", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # stopped-session handle: blocks already gone
+
+
 def plan_text(spark, name: str, sf_dir: str) -> str:
+    _reset_memo_state()
     buf = io.StringIO()
     with redirect_stdout(buf):
         QUERIES[name](spark, sf_dir).explain("formatted")

@@ -14,7 +14,13 @@ Usage:
   python tools/price_dedup.py minhash --hashes 128 --bands 16 SF_DIR [SF_DIR ...]
 
 Each SF dir gets one warm pass (plan compile + cache fill) and one timed
-pass, matching the SCALE.md convention (warm, isolated).
+pass, matching the SCALE.md convention (warm, isolated). The timed pass
+reports the detector and the evaluation harness SEPARATELY:
+detector_wall materializes the emitted pair stream alone (count — the
+number comparable to a bench timing), then eval_wall prices the
+exact-Jaccard truth join on top. Rows recorded before round 7 (the
+SCALE.md round-6 128-bit SimHash table) printed a single warm_wall that
+summed both — noted there, not comparable to detector-only timings.
 """
 
 from __future__ import annotations
@@ -46,7 +52,7 @@ def main() -> None:
     for sf_dir in args.sf_dirs:
         corpus = DQ._corpus(spark, sf_dir)
         n_docs = corpus.count()
-        dt = 0.0
+        det_dt = eval_dt = 0.0
         row = None
         for _ in range(2):  # warm then timed; keep the second
             t0 = time.time()
@@ -61,8 +67,17 @@ def main() -> None:
                     threshold=args.threshold,
                     num_hashes=args.hashes, bands=args.bands,
                 ).select("id_a", "id_b")
+            # detector cost alone: materialize the pair stream (count —
+            # nothing collected) BEFORE starting the planted-truth
+            # evaluation, so detector_wall is comparable to a bench/
+            # SCALE.md detector timing. eval_wall prices the harness
+            # itself (exact-Jaccard truth join + metric collect) and is
+            # printed separately, never added to the detector's number.
+            emitted.count()
+            det_dt = time.time() - t0
+            t1 = time.time()
             row = DQ._pair_eval(spark, sf_dir, corpus, emitted).collect()[0]
-            dt = time.time() - t0
+            eval_dt = time.time() - t1
         cfg = (
             f"bits={args.bits} hamming<={args.hamming}"
             if args.detector == "simhash"
@@ -72,7 +87,8 @@ def main() -> None:
             f"RESULT {args.detector} {cfg} {sf_dir} docs={n_docs} "
             f"emitted={row['n_emitted']} precision={row['precision']} "
             f"truth={row['n_truth']} found={row['n_found']} "
-            f"recall={row['recall']} warm_wall={dt:.1f}s"
+            f"recall={row['recall']} detector_wall={det_dt:.1f}s "
+            f"eval_wall={eval_dt:.1f}s"
         )
     spark.stop()
 
