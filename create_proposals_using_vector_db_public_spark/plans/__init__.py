@@ -40,55 +40,30 @@ from . import (  # noqa: F401,E402
 # bounded 50-entry registry PREFIX per round. The registry is 209 queries /
 # 205 oracles (the 4 oracle-less entries are the rows-only-by-design UDF
 # queries). Cumulative driver coverage closed at 209/209 in round 6, so
-# from round 7 on the rotation is pure freshness maintenance: slots 1-3
-# re-earn rows for the queries whose code this round touches, then the
-# ENTIRE list — window and tail alike — runs strictly
-# oldest-driver-evidence-first (per-query latest row across
-# CORRECTNESS_r01-r06: 13 round-2 rows, 48 round-3, 50 round-4, 47
-# round-5, 48 round-6 after the touched three are pulled forward). A
-# 50-slot window refreshing oldest-first keeps every query's newest
-# driver row at most ~4 rounds old at steady state.
+# the rotation is pure freshness maintenance: slots 1-N re-earn rows for
+# the queries whose code this round touches, then the ENTIRE list —
+# window and tail alike — runs strictly oldest-driver-evidence-first
+# (per-query latest row across CORRECTNESS_r01-r07: 14 round-3 rows,
+# 50 round-4, 47 round-5, 48 round-6, 49 round-7 after q_pagerank is
+# pulled forward). A 50-slot window refreshing oldest-first keeps every
+# query's newest driver row at most ~4 rounds old at steady state.
 _PRIORITY = [
-    # ---- round-7 window, slots 1-3: queries whose code round 7
-    # touches — q_pagerank (identical-plan cache reuse replaces the
-    # unconditional evict+recache; the narrowed live-session eviction
-    # guard) and the two SimHash queries (every call now runs through
-    # the tightened band-tiling guard in operators/dedup.py) — re-earn
-    # driver rows on the new code. ----
-    "q_pagerank", "q_dedup_simhash", "q_simhash_eval",
-    # ---- slots 4-16: the 13 queries whose latest driver row is
-    # round 2 — the oldest evidence in the union, refreshed first. ----
-    "q_ann_ivf_kmeans", "q_ann_lsh", "q_ann_recall",
-    "q_event_pattern", "q_gopher_quality", "q_k_anonymity",
-    "q_lag_lead", "q_scalar_subquery", "q_stream_join",
-    "q_stream_stateful", "q_stream_stream_join", "q_udf_trimmed_mean",
-    "q_udtf_tokens",
-    # ---- slots 17-50: the alphabetical head of the 48 round-3 rows
-    # (the next-oldest evidence; the remaining 14 sit immediately
-    # after the window boundary so any harness that checks more than
-    # 50 entries hits them first). ----
-    "q_agg_basic", "q_ann_rerank", "q_anomaly",
-    "q_avg_subquery", "q_bpe_encode", "q_cdc_apply",
-    "q_cms_heavy", "q_compaction", "q_cust_no_orders",
-    "q_dataset_card", "q_dedup_incremental", "q_disjunct_filter",
-    "q_e2e_rag", "q_exists_corr", "q_forecast_revenue",
-    "q_graph_degree", "q_hll_merge", "q_important_parts",
-    "q_join_multiway", "q_knn", "q_large_orders",
-    "q_market_share", "q_min_cost_supplier", "q_minhash_eval",
-    "q_mmr_rerank", "q_nation_volume", "q_nested_in",
-    "q_order_dist", "q_pickle_roundtrip", "q_pickle_stream",
-    "q_priority_mix", "q_product_profit", "q_profile",
-    "q_promo_share",
-    # ---- window boundary. Tail: every query below already has a
-    # green driver row; ordered strictly oldest-evidence-first
-    # (rest of round 3, then rounds 4, 5, 6) so extra driver slots
-    # always re-verify the stalest rows before the freshest. ----
+    # ---- round-8 window, slot 1: the one query whose code round 8
+    # touches — q_pagerank (the identical-plan probe's except branch now
+    # logs the miss kind instead of silently rebuilding) — re-earns a
+    # driver row on the new code. ----
+    "q_pagerank",
+    # ---- slots 2-15: the 14 queries whose latest driver row is
+    # round 3 — the oldest evidence left in the union. ----
     "q_query_expansion", "q_returned_items", "q_rrf_fusion",
     "q_semdedup", "q_ship_priority", "q_snapshot_read",
     "q_sql_interface", "q_supplier_cnt", "q_top_revenue",
     "q_triangle_count", "q_waiting_supplier", "q_window_suite",
     "q_winnow_eval", "q_zonemap_prune",
-    # round-4 rows
+    # ---- slots 16-50: the alphabetical head of the 50 round-4 rows
+    # (next-oldest; the remaining 15 sit immediately after the window
+    # boundary so any harness that checks more than 50 entries hits
+    # them first). ----
     "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
     "q_centroid_label", "q_chunk_fixed", "q_collocations",
     "q_comma_parse", "q_contingency", "q_cosine_topk",
@@ -100,12 +75,16 @@ _PRIORITY = [
     "q_ols", "q_partitioned_sink", "q_pq_recall",
     "q_quality_score", "q_rare_terms", "q_salted_join",
     "q_schema_evolution", "q_share_of_parent", "q_skyline",
-    "q_split_sections", "q_sq_recall", "q_stream_dedup",
-    "q_stream_session", "q_stream_sliding", "q_table_diff",
-    "q_time_rollup", "q_token_count", "q_transitions",
-    "q_trigram_typicality", "q_udf_arrow", "q_udf_groupnorm",
-    "q_udtf_analyze", "q_unpivot", "q_vocab_coverage",
-    "q_yoy_growth", "q_zorder_layout",
+    "q_split_sections", "q_sq_recall",
+    # ---- window boundary. Tail: every query below already has a
+    # green driver row; ordered strictly oldest-evidence-first
+    # (rest of round 4, then rounds 5, 6, 7) so extra driver slots
+    # always re-verify the stalest rows before the freshest. ----
+    "q_stream_dedup", "q_stream_session", "q_stream_sliding",
+    "q_table_diff", "q_time_rollup", "q_token_count",
+    "q_transitions", "q_trigram_typicality", "q_udf_arrow",
+    "q_udf_groupnorm", "q_udtf_analyze", "q_unpivot",
+    "q_vocab_coverage", "q_yoy_growth", "q_zorder_layout",
     # round-5 rows
     "q_agg_distinct", "q_anti", "q_array_ops",
     "q_asof_join", "q_bm25", "q_bucketed_join",
@@ -123,7 +102,7 @@ _PRIORITY = [
     "q_stream_tumbling", "q_stub_embed", "q_stub_knn",
     "q_tfidf", "q_udf_embed", "q_udf_embed_knn",
     "q_udf_keywords", "q_variant_json",
-    # round-6 rows (freshest — checked last)
+    # round-6 rows
     "q_ann_ivf", "q_ann_pq", "q_approx_distinct",
     "q_bloom_join", "q_boilerplate_lines", "q_chunk_split",
     "q_corr_stats", "q_date_agg", "q_decontaminate",
@@ -140,6 +119,24 @@ _PRIORITY = [
     "q_string", "q_temperature_sample", "q_topk_per_group",
     "q_union_incr", "q_upsert", "q_vec_math",
     "q_window_range", "q_window_running", "q_winnow_dups",
+    # round-7 rows (freshest — checked last)
+    "q_dedup_simhash", "q_simhash_eval", "q_ann_ivf_kmeans",
+    "q_ann_lsh", "q_ann_recall", "q_event_pattern",
+    "q_gopher_quality", "q_k_anonymity", "q_lag_lead",
+    "q_scalar_subquery", "q_stream_join", "q_stream_stateful",
+    "q_stream_stream_join", "q_udf_trimmed_mean", "q_udtf_tokens",
+    "q_agg_basic", "q_ann_rerank", "q_anomaly",
+    "q_avg_subquery", "q_bpe_encode", "q_cdc_apply",
+    "q_cms_heavy", "q_compaction", "q_cust_no_orders",
+    "q_dataset_card", "q_dedup_incremental", "q_disjunct_filter",
+    "q_e2e_rag", "q_exists_corr", "q_forecast_revenue",
+    "q_graph_degree", "q_hll_merge", "q_important_parts",
+    "q_join_multiway", "q_knn", "q_large_orders",
+    "q_market_share", "q_min_cost_supplier", "q_minhash_eval",
+    "q_mmr_rerank", "q_nation_volume", "q_nested_in",
+    "q_order_dist", "q_pickle_roundtrip", "q_pickle_stream",
+    "q_priority_mix", "q_product_profit", "q_profile",
+    "q_promo_share",
 ]
 
 

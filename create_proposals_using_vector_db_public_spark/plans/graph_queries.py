@@ -52,7 +52,22 @@ def _same_cached_plan(prev: DataFrame, new_u: DataFrame) -> bool:
                 new_u._jdf.queryExecution().analyzed()
             )
         )
-    except Exception:
+    except Exception as exc:
+        # Expected misses (a test double without _jdf, a handle whose
+        # session stopped) and unexpected ones (Spark Connect has no
+        # _jdf bridge; PySpark-internals drift) both route to the
+        # rebuild path — but the latter would silently disable reuse on
+        # EVERY invocation, so leave a signal distinguishing the two.
+        level = (
+            logging.DEBUG
+            if isinstance(exc, AttributeError)  # double / no JVM bridge handle
+            else logging.INFO  # live bridge raised: reuse may be permanently off
+        )
+        _LOG.log(
+            level,
+            "pagerank identical-plan probe missed, rebuilding (%s: %s)",
+            type(exc).__name__, exc,
+        )
         return False
 
 # Broadcasting the |nodes|-sized rank state is the right plan while it fits

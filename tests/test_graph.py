@@ -168,6 +168,35 @@ def test_pagerank_live_session_eviction_failure_is_logged(spark, caplog):
     ), "live-session eviction failure was swallowed silently"
 
 
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_pagerank_probe_miss_is_observable(spark, caplog):
+    """The identical-plan probe goes through the private JVM bridge
+    (`_jdf ... sameResult`); under Spark Connect or internals drift the
+    except branch would disable reuse on EVERY invocation. That must be
+    observable, not a bare swallow: an expected miss (a handle without
+    the bridge — test double / Connect) logs at DEBUG, while a live
+    bridge that RAISES logs at INFO, so a permanently-dead reuse path
+    leaves a signal. Both still return False (rebuild path)."""
+
+    class _NoBridge:  # AttributeError on ._jdf → expected-miss arm
+        pass
+
+    class _RaisingBridge:  # bridge present but call explodes → INFO arm
+        @property
+        def _jdf(self):
+            raise RuntimeError("py4j bridge gone")
+
+    real = q_pagerank(spark, SF)  # any live DataFrame as the other side
+    with caplog.at_level("DEBUG", logger=graph_queries.__name__):
+        assert graph_queries._same_cached_plan(_NoBridge(), real) is False
+        assert graph_queries._same_cached_plan(_RaisingBridge(), real) is False
+    misses = [r for r in caplog.records if "identical-plan probe" in r.message]
+    assert [r.levelname for r in misses] == ["DEBUG", "INFO"], (
+        "probe misses must log (expected=DEBUG, unexpected=INFO), got "
+        f"{[(r.levelname, r.message) for r in misses]}"
+    )
+
+
 def test_triangle_canonical_orientation_counts_once(spark):
     # K4 has exactly 4 triangles; edges stored once as (low, high)
     edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]

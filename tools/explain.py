@@ -56,8 +56,10 @@ def _reset_memo_state() -> None:
         graph_queries as GQ,
     )
 
-    prev = GQ._PR_CACHE.pop("u", None)
-    GQ._PR_CACHE.pop("session", None)
+    prev = GQ._PR_CACHE.get("u")
+    GQ._PR_CACHE.clear()  # ALL bookkeeping (u/session/mode/est/reused):
+    # a half-reset memo would leave stale mode/est entries readable
+    # before the next q_pagerank invocation overwrites them
     if prev is not None:
         try:
             prev.unpersist(blocking=False)

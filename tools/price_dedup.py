@@ -67,17 +67,22 @@ def main() -> None:
                     threshold=args.threshold,
                     num_hashes=args.hashes, bands=args.bands,
                 ).select("id_a", "id_b")
-            # detector cost alone: materialize the pair stream (count —
-            # nothing collected) BEFORE starting the planted-truth
-            # evaluation, so detector_wall is comparable to a bench/
-            # SCALE.md detector timing. eval_wall prices the harness
-            # itself (exact-Jaccard truth join + metric collect) and is
-            # printed separately, never added to the detector's number.
+            # detector cost alone: PERSIST then materialize the pair
+            # stream (count — nothing collected) BEFORE starting the
+            # planted-truth evaluation, so detector_wall is comparable
+            # to a bench/SCALE.md detector timing and the evaluation
+            # below reads the cached pairs instead of re-running the
+            # detector pipeline. eval_wall therefore prices the harness
+            # itself (exact-Jaccard truth join + metric collect) alone —
+            # never added to, and never re-including, the detector's
+            # number. (The pair stream is tiny: ~2e4 rows at 500k docs.)
+            emitted = emitted.persist()
             emitted.count()
             det_dt = time.time() - t0
             t1 = time.time()
             row = DQ._pair_eval(spark, sf_dir, corpus, emitted).collect()[0]
             eval_dt = time.time() - t1
+            emitted.unpersist(blocking=False)
         cfg = (
             f"bits={args.bits} hamming<={args.hamming}"
             if args.detector == "simhash"
