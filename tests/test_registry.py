@@ -43,3 +43,20 @@ def test_queries_are_callable_signature():
     assert set(o) <= set(q)
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_bench_and_ab_harness_queries_are_registered():
+    """bench.py's HEADLINE list and the fragment-cache A/B harness's
+    AB_QUERIES must reference registered queries only — a registry rename
+    would otherwise break the measurement tools at run time, long after
+    the rename commit."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from ab_fragment_cache import AB_QUERIES
+
+    from bench import HEADLINE
+
+    assert set(HEADLINE) <= set(QUERIES), set(HEADLINE) - set(QUERIES)
+    assert set(AB_QUERIES) <= set(QUERIES), set(AB_QUERIES) - set(QUERIES)
