@@ -659,3 +659,58 @@ def test_simhash_128_bit_matches_python_reference_fuzzed(spark, texts):
             assert i not in got, (i, t, got.get(i))
         else:
             assert got.get(i) == want, (i, t)
+
+
+def _py_winnow_fps(text, k=3, window=4):
+    """Independent winnowing reference (MOSS over word k-grams): Java-\\s
+    tokenize, md5-prefix word hashes, Horner k-shingle combine, slide a
+    `window` over the shingle hashes keeping each window's min, distinct.
+    Mirrors the DOCUMENTED scheme (operators/dedup.py winnow_fingerprints
+    docstring), not the engine's expressions — the third implementation
+    that can catch a contract bug the engine and its DuckDB oracle share.
+    None = the doc has < k words and must be absent from the output."""
+    import hashlib
+    import re
+
+    wh = [
+        int(hashlib.md5(w.encode()).hexdigest()[: D.MINHASH_BASE_HEX], 16)
+        for w in re.split(r"[ \t\n\x0B\f\r]+", text)
+        if w
+    ]
+    if len(wh) < k:
+        return None
+    sh = []
+    for i in range(len(wh) - k + 1):
+        s = wh[i]
+        for j in range(1, k):
+            s = (s * D.MINHASH_A[0] + wh[i + j]) % D.MINHASH_P
+        sh.append(s)
+    if len(sh) >= window:
+        mins = [min(sh[i : i + window]) for i in range(len(sh) - window + 1)]
+    else:
+        mins = [min(sh)]
+    return set(mins)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_TEXTS)
+def test_winnow_fingerprints_match_python_reference_fuzzed(spark, texts):
+    """Winnowed passage fingerprints vs the independent Python reference
+    over adversarial text — the same third-implementation discipline the
+    MinHash and SimHash families already have. Pins the guarantee the
+    dedup rests on (any shared run of >= k+window-1 words yields a shared
+    fingerprint) via the exact fingerprint SETS, including the two edge
+    contracts: docs with < k words are ABSENT, docs with fewer than
+    `window` shingles contribute their single overall min."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: long, t: string"
+    )
+    got: dict[int, set] = {}
+    for r in D.winnow_fingerprints(df, id_col="i", text_col="t").collect():
+        got.setdefault(r["i"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        want = _py_winnow_fps(t)
+        if want is None:
+            assert i not in got, (i, t, got.get(i))
+        else:
+            assert got.get(i) == want, (i, t)
