@@ -714,3 +714,60 @@ def test_winnow_fingerprints_match_python_reference_fuzzed(spark, texts):
             assert i not in got, (i, t, got.get(i))
         else:
             assert got.get(i) == want, (i, t)
+
+
+def _py_hyperplane_bucket(vec, band, n_planes=6):
+    """Independent reference for hashed_hyperplane_bucket: the LCG ±1
+    pattern ``(i*1103515245 + p*12345) // 65536 % 2`` and a left-fold IEEE
+    double sum in element order. Exactness note: the engine divides by
+    65536 in DOUBLE then truncates — 65536 is 2^16, so that division is an
+    exact binary scaling and the truncation equals integer // for these
+    non-negative operands; both engines and this reference therefore agree
+    bit-for-bit, floats included."""
+    out = []
+    for j in range(n_planes):
+        p = band * n_planes + j
+        acc = 0.0
+        for i, x in enumerate(vec):
+            term = x if (i * 1103515245 + p * 12345) // 65536 % 2 == 0 else -x
+            acc = acc + term
+        out.append("1" if acc >= 0 else "0")
+    return "".join(out)
+
+
+_VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_VECS)
+def test_hashed_hyperplane_bucket_matches_python_reference(spark, vecs):
+    """Embedding-LSH banding honesty, third-implementation style: the
+    per-band sign buckets that drive q_dedup_embedding's candidate join
+    must equal a from-the-docstring Python reference for arbitrary float
+    vectors and multiple band indices — an 'optimized' rewrite that
+    changes the fold order or the LCG pattern semantics fails here even
+    if the engine and its DuckDB mirror drift together."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i: long, v: array<double>"
+    )
+    got = {
+        r["i"]: (r["b0"], r["b1"])
+        for r in df.select(
+            "i",
+            D.hashed_hyperplane_bucket("v", band=0).alias("b0"),
+            D.hashed_hyperplane_bucket("v", band=1).alias("b1"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        want = (_py_hyperplane_bucket(v, 0), _py_hyperplane_bucket(v, 1))
+        assert got[i] == want, (i, v, got[i], want)
