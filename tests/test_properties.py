@@ -771,3 +771,56 @@ def test_hashed_hyperplane_bucket_matches_python_reference(spark, vecs):
     for i, v in enumerate(vecs):
         want = (_py_hyperplane_bucket(v, 0), _py_hyperplane_bucket(v, 1))
         assert got[i] == want, (i, v, got[i], want)
+
+
+def _py_minhash_sig(text, num_hashes=D.MINHASH_NUM_HASHES):
+    """Independent MinHash reference: Java-\\s tokenize, md5-prefix word
+    hashes, Horner 3-shingle combine, min over the affine family. None =
+    the doc has < 3 words (no shingles) and must be absent — the same
+    documented contract the fixed-corpus pin in tests/test_dedup.py uses;
+    this one feeds the fuzzing property."""
+    import hashlib
+    import re
+
+    wh = [
+        int(hashlib.md5(w.encode()).hexdigest()[: D.MINHASH_BASE_HEX], 16)
+        for w in re.split(r"[ \t\n\x0B\f\r]+", text)
+        if w
+    ]
+    sh = []
+    for i in range(len(wh) - 2):
+        s = wh[i]
+        for j in (1, 2):
+            s = (s * D.SHINGLE_COMBINE + wh[i + j]) % D.MINHASH_P
+        sh.append(s)
+    if not sh:
+        return None
+    return tuple(
+        min(
+            (D.affine_params(h)[0] * s + D.affine_params(h)[1]) % D.MINHASH_P
+            for s in sh
+        )
+        for h in range(num_hashes)
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(_TEXTS)
+def test_minhash_signatures_match_python_reference_fuzzed(spark, texts):
+    """MinHash signatures vs the independent Python reference over
+    adversarial text — completes the fuzz trio (SimHash and winnowing
+    already have one): all 8 default hashes must match exactly, and docs
+    with < 3 words must be absent from the signature output."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: long, t: string"
+    )
+    got = {
+        r["i"]: tuple(r[f"mh{j}"] for j in range(D.MINHASH_NUM_HASHES))
+        for r in D.minhash_signatures(df, id_col="i", text_col="t").collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_minhash_sig(t)
+        if want is None:
+            assert i not in got, (i, t, got.get(i))
+        else:
+            assert got.get(i) == want, (i, t)
