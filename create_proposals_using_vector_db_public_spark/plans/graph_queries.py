@@ -88,7 +88,7 @@ e AS (
   FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
   GROUP BY a.p, b.p
 ),
-u AS (
+u AS MATERIALIZED (
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL
   SELECT pb AS src, pa AS dst FROM e
