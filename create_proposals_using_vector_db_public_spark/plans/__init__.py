@@ -48,20 +48,22 @@ from . import (  # noqa: F401,E402
 # pulled forward). A 50-slot window refreshing oldest-first keeps every
 # query's newest driver row at most ~4 rounds old at steady state.
 _PRIORITY = [
-    # ---- round-8 window, slot 1: the one query whose code round 8
-    # touches — q_pagerank (the identical-plan probe's except branch now
-    # logs the miss kind instead of silently rebuilding) — re-earns a
-    # driver row on the new code. ----
-    "q_pagerank",
-    # ---- slots 2-15: the 14 queries whose latest driver row is
+    # ---- round-8 window, slots 1-2: the queries whose code round 8
+    # touches — q_pagerank (identical-plan probe logging + the
+    # u AS MATERIALIZED oracle fix that closes the one-shot at sf10)
+    # and q_graph_degree (its oracle shares the edited _EDGES_SQL) —
+    # re-earn driver rows on the new code. q_triangle_count, the third
+    # _EDGES_SQL sharer, already sits in the round-3 block below. ----
+    "q_pagerank", "q_graph_degree",
+    # ---- slots 3-16: the 14 queries whose latest driver row is
     # round 3 — the oldest evidence left in the union. ----
     "q_query_expansion", "q_returned_items", "q_rrf_fusion",
     "q_semdedup", "q_ship_priority", "q_snapshot_read",
     "q_sql_interface", "q_supplier_cnt", "q_top_revenue",
     "q_triangle_count", "q_waiting_supplier", "q_window_suite",
     "q_winnow_eval", "q_zonemap_prune",
-    # ---- slots 16-50: the alphabetical head of the 50 round-4 rows
-    # (next-oldest; the remaining 15 sit immediately after the window
+    # ---- slots 17-50: the alphabetical head of the 50 round-4 rows
+    # (next-oldest; the remaining 16 sit immediately after the window
     # boundary so any harness that checks more than 50 entries hits
     # them first). ----
     "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
@@ -130,7 +132,7 @@ _PRIORITY = [
     "q_cms_heavy", "q_compaction", "q_cust_no_orders",
     "q_dataset_card", "q_dedup_incremental", "q_disjunct_filter",
     "q_e2e_rag", "q_exists_corr", "q_forecast_revenue",
-    "q_graph_degree", "q_hll_merge", "q_important_parts",
+    "q_hll_merge", "q_important_parts",
     "q_join_multiway", "q_knn", "q_large_orders",
     "q_market_share", "q_min_cost_supplier", "q_minhash_eval",
     "q_mmr_rerank", "q_nation_volume", "q_nested_in",
