@@ -43,51 +43,32 @@ from . import (  # noqa: F401,E402
 # the rotation is pure freshness maintenance: slots 1-N re-earn rows for
 # the queries whose code this round touches, then the ENTIRE list —
 # window and tail alike — runs strictly oldest-driver-evidence-first
-# (per-query latest row across CORRECTNESS_r01-r07: 14 round-3 rows,
-# 50 round-4, 47 round-5, 48 round-6, 49 round-7 after q_pagerank is
-# pulled forward). A 50-slot window refreshing oldest-first keeps every
-# query's newest driver row at most ~4 rounds old at steady state.
+# (per-query latest row across CORRECTNESS_r01-r08: 16 round-4 rows,
+# 47 round-5, 48 round-6, 48 round-7, 50 round-8). A 50-slot window
+# refreshing oldest-first keeps every query's newest driver row at most
+# ~4 rounds old at steady state; after the round-9 window lands, the
+# oldest remaining evidence is round 5.
 _PRIORITY = [
-    # ---- round-8 window, slots 1-2: the queries whose code round 8
-    # touches — q_pagerank (identical-plan probe logging + the
-    # u AS MATERIALIZED oracle fix that closes the one-shot at sf10)
-    # and q_graph_degree (its oracle shares the edited _EDGES_SQL) —
-    # re-earn driver rows on the new code. q_triangle_count, the third
-    # _EDGES_SQL sharer, already sits in the round-3 block below. ----
-    "q_pagerank", "q_graph_degree",
-    # ---- slots 3-16: the 14 queries whose latest driver row is
-    # round 3 — the oldest evidence left in the union. ----
-    "q_query_expansion", "q_returned_items", "q_rrf_fusion",
-    "q_semdedup", "q_ship_priority", "q_snapshot_read",
-    "q_sql_interface", "q_supplier_cnt", "q_top_revenue",
-    "q_triangle_count", "q_waiting_supplier", "q_window_suite",
-    "q_winnow_eval", "q_zonemap_prune",
-    # ---- slots 17-50: the alphabetical head of the 50 round-4 rows
-    # (next-oldest; the remaining 16 sit immediately after the window
-    # boundary so any harness that checks more than 50 entries hits
-    # them first). ----
-    "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
-    "q_centroid_label", "q_chunk_fixed", "q_collocations",
-    "q_comma_parse", "q_contingency", "q_cosine_topk",
-    "q_domain_mix", "q_dq_audit", "q_ewma_smooth",
-    "q_format_roundtrip", "q_grouping_sets", "q_heavy_hitters",
-    "q_histogram", "q_interval_overlap", "q_inverted_search",
-    "q_ivm_join", "q_lang_id", "q_map_arrow",
-    "q_map_ops", "q_multimodal_frames", "q_multimodal_meta",
-    "q_ols", "q_partitioned_sink", "q_pq_recall",
-    "q_quality_score", "q_rare_terms", "q_salted_join",
-    "q_schema_evolution", "q_share_of_parent", "q_skyline",
-    "q_split_sections", "q_sq_recall",
-    # ---- window boundary. Tail: every query below already has a
-    # green driver row; ordered strictly oldest-evidence-first
-    # (rest of round 4, then rounds 5, 6, 7) so extra driver slots
-    # always re-verify the stalest rows before the freshest. ----
-    "q_stream_dedup", "q_stream_session", "q_stream_sliding",
-    "q_table_diff", "q_time_rollup", "q_token_count",
-    "q_transitions", "q_trigram_typicality", "q_udf_arrow",
-    "q_udf_groupnorm", "q_udtf_analyze", "q_unpivot",
-    "q_vocab_coverage", "q_yoy_growth", "q_zorder_layout",
-    # round-5 rows
+    # ---- round-9 window, slots 1-3: the queries round 9 touches —
+    # q_graph_degree and q_triangle_count re-earn driver rows on their
+    # NEW oracle texts (the u AS MATERIALIZED hint is now scoped to the
+    # PageRank oracle only: degree references u once so DuckDB's default
+    # inlining is right, and the triangle oracle is built from the e-only
+    # prefix so it carries no unreferenced u CTE at all), and q_pagerank
+    # re-earns a row on the refactored module (its oracle text is
+    # byte-identical to the sf10-verified round-8 text — verified by
+    # diff against git HEAD). ----
+    "q_graph_degree", "q_triangle_count", "q_pagerank",
+    # ---- slots 4-19: the 16 remaining round-4 rows — the oldest
+    # driver evidence left in the union after round 8. ----
+    "q_sq_recall", "q_stream_dedup", "q_stream_session",
+    "q_stream_sliding", "q_table_diff", "q_time_rollup",
+    "q_token_count", "q_transitions", "q_trigram_typicality",
+    "q_udf_arrow", "q_udf_groupnorm", "q_udtf_analyze",
+    "q_unpivot", "q_vocab_coverage", "q_yoy_growth",
+    "q_zorder_layout",
+    # ---- slots 20-50: the 31 oldest round-5 rows (current-order
+    # stable within the round). ----
     "q_agg_distinct", "q_anti", "q_array_ops",
     "q_asof_join", "q_bm25", "q_bucketed_join",
     "q_corpus_shuffle", "q_cube", "q_dedup_embedding",
@@ -98,12 +79,17 @@ _PRIORITY = [
     "q_negative_sample", "q_ngram_diversity", "q_outer",
     "q_percentiles", "q_pivot", "q_prefix_complete",
     "q_project", "q_prompt_template", "q_quantize_embedding",
-    "q_range_join", "q_reident_risk", "q_salted_agg",
-    "q_sample_hash", "q_scan_filter", "q_semi",
-    "q_sessionize", "q_sink_roundtrip", "q_stratified_sample",
-    "q_stream_tumbling", "q_stub_embed", "q_stub_knn",
-    "q_tfidf", "q_udf_embed", "q_udf_embed_knn",
-    "q_udf_keywords", "q_variant_json",
+    "q_range_join",
+    # ---- window boundary. Tail: every query below already has a
+    # green driver row; ordered strictly oldest-evidence-first (the 16
+    # remaining round-5 rows, then rounds 6, 7, 8) so extra driver
+    # slots always re-verify the stalest rows before the freshest. ----
+    "q_reident_risk", "q_salted_agg", "q_sample_hash",
+    "q_scan_filter", "q_semi", "q_sessionize",
+    "q_sink_roundtrip", "q_stratified_sample", "q_stream_tumbling",
+    "q_stub_embed", "q_stub_knn", "q_tfidf",
+    "q_udf_embed", "q_udf_embed_knn", "q_udf_keywords",
+    "q_variant_json",
     # round-6 rows
     "q_ann_ivf", "q_ann_pq", "q_approx_distinct",
     "q_bloom_join", "q_boilerplate_lines", "q_chunk_split",
@@ -121,7 +107,7 @@ _PRIORITY = [
     "q_string", "q_temperature_sample", "q_topk_per_group",
     "q_union_incr", "q_upsert", "q_vec_math",
     "q_window_range", "q_window_running", "q_winnow_dups",
-    # round-7 rows (freshest — checked last)
+    # round-7 rows
     "q_dedup_simhash", "q_simhash_eval", "q_ann_ivf_kmeans",
     "q_ann_lsh", "q_ann_recall", "q_event_pattern",
     "q_gopher_quality", "q_k_anonymity", "q_lag_lead",
@@ -132,13 +118,29 @@ _PRIORITY = [
     "q_cms_heavy", "q_compaction", "q_cust_no_orders",
     "q_dataset_card", "q_dedup_incremental", "q_disjunct_filter",
     "q_e2e_rag", "q_exists_corr", "q_forecast_revenue",
-    "q_hll_merge", "q_important_parts",
-    "q_join_multiway", "q_knn", "q_large_orders",
-    "q_market_share", "q_min_cost_supplier", "q_minhash_eval",
-    "q_mmr_rerank", "q_nation_volume", "q_nested_in",
-    "q_order_dist", "q_pickle_roundtrip", "q_pickle_stream",
-    "q_priority_mix", "q_product_profit", "q_profile",
-    "q_promo_share",
+    "q_hll_merge", "q_important_parts", "q_join_multiway",
+    "q_knn", "q_large_orders", "q_market_share",
+    "q_min_cost_supplier", "q_minhash_eval", "q_mmr_rerank",
+    "q_nation_volume", "q_nested_in", "q_order_dist",
+    "q_pickle_roundtrip", "q_pickle_stream", "q_priority_mix",
+    "q_product_profit", "q_profile", "q_promo_share",
+    # round-8 rows (freshest — checked last)
+    "q_query_expansion", "q_returned_items", "q_rrf_fusion",
+    "q_semdedup", "q_ship_priority", "q_snapshot_read",
+    "q_sql_interface", "q_supplier_cnt", "q_top_revenue",
+    "q_waiting_supplier", "q_window_suite", "q_winnow_eval",
+    "q_zonemap_prune", "q_ann_ivfpq", "q_approx_percentile",
+    "q_bpe_merges", "q_centroid_label", "q_chunk_fixed",
+    "q_collocations", "q_comma_parse", "q_contingency",
+    "q_cosine_topk", "q_domain_mix", "q_dq_audit",
+    "q_ewma_smooth", "q_format_roundtrip", "q_grouping_sets",
+    "q_heavy_hitters", "q_histogram", "q_interval_overlap",
+    "q_inverted_search", "q_ivm_join", "q_lang_id",
+    "q_map_arrow", "q_map_ops", "q_multimodal_frames",
+    "q_multimodal_meta", "q_ols", "q_partitioned_sink",
+    "q_pq_recall", "q_quality_score", "q_rare_terms",
+    "q_salted_join", "q_schema_evolution", "q_share_of_parent",
+    "q_skyline", "q_split_sections",
 ]
 
 

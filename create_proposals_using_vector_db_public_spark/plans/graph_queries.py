@@ -81,19 +81,40 @@ def _same_cached_plan(prev: DataFrame, new_u: DataFrame) -> bool:
 # the plain shuffled join. Module-level so tests can force the fallback.
 _PR_BCAST_MAX_BYTES = 1 << 30
 
-_EDGES_SQL = """
+# Directed-edge prefix (io + e) — the triangle oracle stops here so its
+# plan never carries the 2x-undirected u CTE at all (DuckDB executes an
+# unreferenced MATERIALIZED CTE, and even an unhinted unreferenced CTE is
+# dead text in the query).
+_IO_E_SQL = """
 io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (
   SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS w
   FROM io a JOIN io b ON a.o = b.o AND a.p < b.p
   GROUP BY a.p, b.p
-),
-u AS MATERIALIZED (
+)
+"""
+
+_U_SQL = """
+u AS {hint}(
   SELECT pa AS src, pb AS dst FROM e
   UNION ALL
   SELECT pb AS src, pa AS dst FROM e
 )
 """
+
+# Unhinted variant: the degree oracle references u exactly once, so DuckDB's
+# default CTE inlining is the right plan there.
+_EDGES_SQL = _IO_E_SQL.strip() + ",\n" + _U_SQL.format(hint="").strip()
+
+# MATERIALIZED variant — ONLY for the PageRank oracle, where u is referenced
+# in every unrolled iteration (the DuckDB analogue of the Spark side's
+# edge-list .cache(); without it the sf10 one-shot recomputes the self-join
+# per iteration and spills unboundedly). Keeping the hint out of the shared
+# prefix stops the triangle/degree oracles from materializing ~120M rows at
+# sf10 for a CTE they use once or never.
+_EDGES_SQL_MAT = (
+    _IO_E_SQL.strip() + ",\n" + _U_SQL.format(hint="MATERIALIZED ").strip()
+)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +165,7 @@ def _undirected(edges: DataFrame) -> DataFrame:
 # --- degree distribution -----------------------------------------------------
 
 _DEGREE_ORACLE = f"""
-WITH {_EDGES_SQL.strip()},
+WITH {_EDGES_SQL},
 d AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM u GROUP BY src)
 SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM d GROUP BY degree
@@ -180,7 +201,7 @@ r{k} AS (
 
 
 _PAGERANK_ORACLE = (
-    f"WITH {_EDGES_SQL.strip()},\n"
+    f"WITH {_EDGES_SQL_MAT},\n"
     "d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY src),\n"
     f"r0 AS (SELECT src AS node, deg, CAST({_PR_SCALE} AS BIGINT) AS r FROM d)"
     + "".join("," + _pr_iteration_sql(k) for k in range(1, _PR_ITERS + 1))
@@ -322,7 +343,7 @@ if q_pagerank.__doc__:  # absent under python -OO
 # --- triangle counting -------------------------------------------------------
 
 _TRIANGLE_ORACLE = f"""
-WITH {_EDGES_SQL.strip()},
+WITH {_IO_E_SQL.strip()},
 s AS (SELECT pa, pb FROM e WHERE w >= {_TRI_MIN_W})
 SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_edges,
        CAST(count(*) AS BIGINT) AS n_triangles

@@ -2,6 +2,7 @@
 integer PageRank against a hand-computed fixture, canonical-orientation
 triangle counting, and the degree/edge-build invariants."""
 
+import logging
 import os
 
 import pyspark.sql.functions as F
@@ -194,6 +195,52 @@ def test_pagerank_probe_miss_is_observable(spark, caplog):
     assert [r.levelname for r in misses] == ["DEBUG", "INFO"], (
         "probe misses must log (expected=DEBUG, unexpected=INFO), got "
         f"{[(r.levelname, r.message) for r in misses]}"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_pagerank_bridgeless_session_degrades_to_correct_rebuild(spark, caplog):
+    """End-to-end pin of the Spark-Connect / internals-drift degradation
+    mode: when the CACHED handle's `_jdf` bridge raises a non-AttributeError
+    (a live object whose JVM call explodes — what PySpark-internals drift
+    or a Connect-backed DataFrame looks like to the probe), a full
+    q_pagerank invocation must (a) take the rebuild path and still return
+    the exact ranks, and (b) fire the INFO-level probe-miss log — at INFO
+    specifically, so a refactor can't silently demote the
+    permanently-disabled-reuse signal to DEBUG. Complements
+    test_pagerank_probe_miss_is_observable, which pins _same_cached_plan
+    in isolation rather than through the query."""
+
+    expected = [tuple(r) for r in q_pagerank(spark, SF).collect()]
+    inner = graph_queries._PR_CACHE["u"]  # the live cached edge list
+
+    class _ConnectLikeHandle:
+        """Bridge present but every JVM call raises — NOT AttributeError."""
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("queryExecution unavailable (no JVM bridge)")
+
+        def unpersist(self, blocking=False):
+            # delegate: the rebuild path evicts the previous entry, and the
+            # real blocks behind this proxy must actually be released
+            return inner.unpersist(blocking=blocking)
+
+    graph_queries._PR_CACHE["u"] = _ConnectLikeHandle()
+    graph_queries._PR_CACHE["session"] = spark
+    with caplog.at_level(logging.INFO, logger=graph_queries.__name__):
+        got = [tuple(r) for r in q_pagerank(spark, SF).collect()]
+    assert got == expected, "bridge-less rebuild path changed the ranks"
+    assert graph_queries._PR_CACHE["reused"] is False
+    assert not isinstance(graph_queries._PR_CACHE["u"], _ConnectLikeHandle)
+    info_misses = [
+        r
+        for r in caplog.records
+        if "identical-plan probe" in r.message and r.levelno == logging.INFO
+    ]
+    assert info_misses, (
+        "a live-bridge probe failure inside q_pagerank must log at INFO "
+        f"(got only: {[(r.levelname, r.message) for r in caplog.records]})"
     )
 
 

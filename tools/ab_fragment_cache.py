@@ -99,15 +99,31 @@ def run_arm(label: str, sf_dir: str, passes: int, warm_cache: bool):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    arm_a, _ = run_arm("a", sf_dir, passes, warm_cache=False)
-    arm_b, build = run_arm("b", sf_dir, passes, warm_cache=True)
+    # Arm order is configurable (and recorded in the JSON) because a fixed
+    # A-then-B execution shares one host time window: slow monotonic host
+    # drift would bias the comparison in a fixed direction. Run once with
+    # each order (or use --order=ba for the counter-run) so drift cancels.
+    order = "ab"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--order=")]
+    for a in sys.argv[1:]:
+        if a.startswith("--order="):
+            order = a.split("=", 1)[1]
+    if order not in ("ab", "ba"):
+        raise SystemExit(f"--order must be ab or ba, got {order!r}")
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    passes = int(argv[1]) if len(argv) > 1 else 3
+    if order == "ab":
+        arm_a, _ = run_arm("a", sf_dir, passes, warm_cache=False)
+        arm_b, build = run_arm("b", sf_dir, passes, warm_cache=True)
+    else:
+        arm_b, build = run_arm("b", sf_dir, passes, warm_cache=True)
+        arm_a, _ = run_arm("a", sf_dir, passes, warm_cache=False)
     print(
         json.dumps(
             {
                 "arm_a": arm_a,
                 "arm_b": arm_b,
+                "order": order,
                 "arm_a_total_min": round(
                     sum(min(v) for v in arm_a.values()), 3
                 ),
