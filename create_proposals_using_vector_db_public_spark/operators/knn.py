@@ -22,6 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -30,6 +31,8 @@ from pyspark.sql.window import Window
 
 from ..functions import vectors as V
 from .plan_stats import plan_size_bytes
+
+_LOG = logging.getLogger(__name__)
 
 
 # Below this optimizer-estimated input size the parallelism guard is a
@@ -72,7 +75,20 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     try:
         n_part = int(df._jdf.queryExecution().toRdd().getNumPartitions())
     except Exception:
-        n_part = df.rdd.getNumPartitions()
+        try:
+            n_part = df.rdd.getNumPartitions()
+        except Exception as exc:
+            # No partition probe at all (Spark Connect exposes neither
+            # _jdf nor .rdd): leave the partitioning as-is rather than
+            # pay an unconditional extra shuffle on every guarded query.
+            # The guard exists for the degenerate single-split scan; a
+            # probe-less environment loses that protection, which must be
+            # observable (same discipline as the pagerank probe-miss log).
+            _LOG.info(
+                "parallelism probe unavailable, leaving partitioning "
+                "as-is (%s: %s)", type(exc).__name__, exc,
+            )
+            return df
     if n_part < shuffle_n:
         return df.repartition(shuffle_n)
     return df

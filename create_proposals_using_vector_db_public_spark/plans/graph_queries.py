@@ -43,25 +43,26 @@ def _same_cached_plan(prev: DataFrame, new_u: DataFrame) -> bool:
     analyzed logical plan as the new build — the exact lookup semantics
     Spark's CacheManager uses (canonicalized ``sameResult`` on the
     analyzed plan), so a True here means ``new_u.cache()`` would resolve
-    to the existing entry anyway. Any failure (a handle from a stopped
-    session, a foreign test double) is a miss, which routes the caller to
-    the rebuild path where the guarded eviction handles the stale handle."""
+    to the existing entry anyway. The probe is the PUBLIC
+    ``DataFrame.sameSemantics`` developer API (classic mode: the same
+    analyzed-plan ``sameResult`` the old ``_jdf`` probe reached by hand;
+    Spark Connect: a semantic-comparison RPC, supported since 3.5 — so
+    reuse now WORKS under Connect instead of permanently missing), whose
+    docs bless exactly this false-negatives-are-fine caching use. Any
+    failure (a handle from a stopped session, a foreign test double) is
+    a miss, which routes the caller to the rebuild path where the
+    guarded eviction handles the stale handle."""
     try:
-        return bool(
-            prev._jdf.queryExecution().analyzed().sameResult(
-                new_u._jdf.queryExecution().analyzed()
-            )
-        )
+        return bool(prev.sameSemantics(new_u))
     except Exception as exc:
-        # Expected misses (a test double without _jdf, a handle whose
-        # session stopped) and unexpected ones (Spark Connect has no
-        # _jdf bridge; PySpark-internals drift) both route to the
-        # rebuild path — but the latter would silently disable reuse on
-        # EVERY invocation, so leave a signal distinguishing the two.
+        # Expected misses (a test double without the method) log DEBUG;
+        # anything a REAL DataFrame raises (stopped session, API drift)
+        # logs INFO — a raising probe on every invocation would silently
+        # disable reuse, so it must leave a signal.
         level = (
             logging.DEBUG
-            if isinstance(exc, AttributeError)  # double / no JVM bridge handle
-            else logging.INFO  # live bridge raised: reuse may be permanently off
+            if isinstance(exc, AttributeError)  # double without the API
+            else logging.INFO  # live handle raised: reuse may be permanently off
         )
         _LOG.log(
             level,

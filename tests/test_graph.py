@@ -171,20 +171,19 @@ def test_pagerank_live_session_eviction_failure_is_logged(spark, caplog):
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 def test_pagerank_probe_miss_is_observable(spark, caplog):
-    """The identical-plan probe goes through the private JVM bridge
-    (`_jdf ... sameResult`); under Spark Connect or internals drift the
-    except branch would disable reuse on EVERY invocation. That must be
-    observable, not a bare swallow: an expected miss (a handle without
-    the bridge — test double / Connect) logs at DEBUG, while a live
-    bridge that RAISES logs at INFO, so a permanently-dead reuse path
-    leaves a signal. Both still return False (rebuild path)."""
+    """The identical-plan probe uses the public `sameSemantics` API;
+    if the probe RAISES on every invocation (API drift, a stopped
+    session) the except branch would disable reuse on EVERY call. That
+    must be observable, not a bare swallow: an expected miss (a handle
+    without the method — a test double) logs at DEBUG, while a handle
+    whose probe call explodes logs at INFO, so a permanently-dead reuse
+    path leaves a signal. Both still return False (rebuild path)."""
 
-    class _NoBridge:  # AttributeError on ._jdf → expected-miss arm
+    class _NoBridge:  # AttributeError on .sameSemantics → expected-miss arm
         pass
 
-    class _RaisingBridge:  # bridge present but call explodes → INFO arm
-        @property
-        def _jdf(self):
+    class _RaisingBridge:  # method present but the call explodes → INFO arm
+        def sameSemantics(self, other):
             raise RuntimeError("py4j bridge gone")
 
     real = q_pagerank(spark, SF)  # any live DataFrame as the other side
@@ -200,14 +199,13 @@ def test_pagerank_probe_miss_is_observable(spark, caplog):
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 def test_pagerank_bridgeless_session_degrades_to_correct_rebuild(spark, caplog):
-    """End-to-end pin of the Spark-Connect / internals-drift degradation
-    mode: when the CACHED handle's `_jdf` bridge raises a non-AttributeError
-    (a live object whose JVM call explodes — what PySpark-internals drift
-    or a Connect-backed DataFrame looks like to the probe), a full
-    q_pagerank invocation must (a) take the rebuild path and still return
-    the exact ranks, and (b) fire the INFO-level probe-miss log — at INFO
-    specifically, so a refactor can't silently demote the
-    permanently-disabled-reuse signal to DEBUG. Complements
+    """End-to-end pin of the probe-degradation mode: when the CACHED
+    handle's `sameSemantics` call raises a non-AttributeError (a live
+    object whose probe call explodes — stopped-session py4j errors, or
+    API drift), a full q_pagerank invocation must (a) take the rebuild
+    path and still return the exact ranks, and (b) fire the INFO-level
+    probe-miss log — at INFO specifically, so a refactor can't silently
+    demote the permanently-disabled-reuse signal to DEBUG. Complements
     test_pagerank_probe_miss_is_observable, which pins _same_cached_plan
     in isolation rather than through the query."""
 
@@ -215,11 +213,10 @@ def test_pagerank_bridgeless_session_degrades_to_correct_rebuild(spark, caplog):
     inner = graph_queries._PR_CACHE["u"]  # the live cached edge list
 
     class _ConnectLikeHandle:
-        """Bridge present but every JVM call raises — NOT AttributeError."""
+        """Probe method present but every call raises — NOT AttributeError."""
 
-        @property
-        def _jdf(self):
-            raise RuntimeError("queryExecution unavailable (no JVM bridge)")
+        def sameSemantics(self, other):
+            raise RuntimeError("semantic comparison unavailable")
 
         def unpersist(self, blocking=False):
             # delegate: the rebuild path evicts the previous entry, and the

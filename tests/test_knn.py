@@ -179,3 +179,43 @@ def test_ensure_parallelism_guard_decisions(spark):
     for df in (small, spark.range(0, 100000, 1, 2).toDF("id")):
         plan_n = int(df._jdf.queryExecution().toRdd().getNumPartitions())
         assert plan_n == df.rdd.getNumPartitions()
+
+
+def test_ensure_parallelism_probeless_degrades_observably(spark, caplog):
+    """When NEITHER partition probe exists (Spark Connect exposes neither
+    `_jdf` nor `.rdd`), the guard must return the input unchanged — no
+    unconditional shuffle on every guarded query — and log the lost
+    protection at INFO, the same observability discipline as the
+    pagerank probe-miss log."""
+    import logging
+
+    from create_proposals_using_vector_db_public_spark.operators import knn
+
+    class _ProbelessFrame:
+        """Quacks enough of a big DataFrame for the guard's path: size
+        estimate unavailable (plan_size_bytes -> None via raising _jdf),
+        session conf present, but no working partition probe."""
+
+        def __init__(self, session):
+            self.sparkSession = session
+
+        @property
+        def _jdf(self):
+            raise AttributeError("no JVM bridge")
+
+        @property
+        def rdd(self):
+            raise NotImplementedError("rdd is not supported here")
+
+        def repartition(self, n):  # must NOT be reached
+            raise AssertionError("probe-less guard added a shuffle")
+
+    df = _ProbelessFrame(spark)
+    with caplog.at_level(logging.INFO, logger=knn.__name__):
+        out = knn.ensure_parallelism(df)
+    assert out is df, "probe-less input must be returned as-is"
+    assert any(
+        "parallelism probe unavailable" in r.message
+        and r.levelno == logging.INFO
+        for r in caplog.records
+    ), "probe-less degradation must be observable at INFO"
