@@ -237,21 +237,26 @@ WITH cents AS (
                                   count(*) // {_SEMDEDUP_CSIZE})
                   FROM embeddings)
 ), assign_scored AS (
-  SELECT e.vec_id, e.embedding, c.centroid_id,
+  -- narrow columns only: the n x ncent argmin window must not carry the
+  -- embedding array through its sort (at sf10 that is a 64M-row x ~550B
+  -- working set that OOMs a 50 GiB budget mid-sweep; vec_id+centroid_id+
+  -- cdist is ~20B/row). The winner's embedding is re-joined by the
+  -- unique vec_id afterward — result-identical, proven old-vs-new.
+  SELECT e.vec_id, c.centroid_id,
          round({d_l2(dd("e.embedding"), "c.cv")}, 6) AS cdist
   FROM embeddings e, cents c
 ), assigned0 AS (
-  SELECT vec_id, embedding, centroid_id
+  SELECT vec_id, centroid_id
   FROM (
-    SELECT *, row_number() OVER (
+    SELECT vec_id, centroid_id, row_number() OVER (
       PARTITION BY vec_id ORDER BY cdist ASC, centroid_id ASC
     ) AS rn
     FROM assign_scored
   ) WHERE rn = 1
 ), assigned AS (
-  SELECT vec_id, centroid_id,
-         {d_normalize(dd("embedding"))} AS vh
-  FROM assigned0
+  SELECT b.vec_id, b.centroid_id,
+         {d_normalize(dd("e.embedding"))} AS vh
+  FROM assigned0 b JOIN embeddings e ON e.vec_id = b.vec_id
 ), dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a JOIN assigned b
