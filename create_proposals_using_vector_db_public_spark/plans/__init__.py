@@ -57,9 +57,12 @@ _PRIORITY = [
     # prefix so it carries no unreferenced u CTE at all), and q_pagerank
     # re-earns a row on the refactored module (its oracle text is
     # byte-identical to the sf10-verified round-8 text — verified by
-    # diff against git HEAD). ----
-    "q_graph_degree", "q_triangle_count", "q_pagerank",
-    # ---- slots 4-19: the 16 remaining round-4 rows — the oldest
+    # diff against git HEAD). q_semdedup joins them late in round 9:
+    # its oracle's argmin window was narrowed to remove the sf10 memory
+    # cliff (proven result-identical at sf0.01/0.1/1/10), so it re-earns
+    # a driver row on the new text too. ----
+    "q_graph_degree", "q_triangle_count", "q_pagerank", "q_semdedup",
+    # ---- slots 5-20: the 16 remaining round-4 rows — the oldest
     # driver evidence left in the union after round 8. ----
     "q_sq_recall", "q_stream_dedup", "q_stream_session",
     "q_stream_sliding", "q_table_diff", "q_time_rollup",
@@ -67,7 +70,7 @@ _PRIORITY = [
     "q_udf_arrow", "q_udf_groupnorm", "q_udtf_analyze",
     "q_unpivot", "q_vocab_coverage", "q_yoy_growth",
     "q_zorder_layout",
-    # ---- slots 20-50: the 31 oldest round-5 rows (current-order
+    # ---- slots 21-50: the 30 oldest round-5 rows (current-order
     # stable within the round). ----
     "q_agg_distinct", "q_anti", "q_array_ops",
     "q_asof_join", "q_bm25", "q_bucketed_join",
@@ -79,11 +82,13 @@ _PRIORITY = [
     "q_negative_sample", "q_ngram_diversity", "q_outer",
     "q_percentiles", "q_pivot", "q_prefix_complete",
     "q_project", "q_prompt_template", "q_quantize_embedding",
+    # ---- window boundary (q_semdedup's late insertion at slot 4 slid
+    # q_range_join, the oldest remaining round-5 row, to slot 51 — first
+    # in the tail). Tail: every query below already has a green driver
+    # row; ordered strictly oldest-evidence-first (the 17 remaining
+    # round-5 rows, then rounds 6, 7, 8) so extra driver slots always
+    # re-verify the stalest rows before the freshest. ----
     "q_range_join",
-    # ---- window boundary. Tail: every query below already has a
-    # green driver row; ordered strictly oldest-evidence-first (the 16
-    # remaining round-5 rows, then rounds 6, 7, 8) so extra driver
-    # slots always re-verify the stalest rows before the freshest. ----
     "q_reident_risk", "q_salted_agg", "q_sample_hash",
     "q_scan_filter", "q_semi", "q_sessionize",
     "q_sink_roundtrip", "q_stratified_sample", "q_stream_tumbling",
@@ -126,7 +131,7 @@ _PRIORITY = [
     "q_product_profit", "q_profile", "q_promo_share",
     # round-8 rows (freshest — checked last)
     "q_query_expansion", "q_returned_items", "q_rrf_fusion",
-    "q_semdedup", "q_ship_priority", "q_snapshot_read",
+    "q_ship_priority", "q_snapshot_read",
     "q_sql_interface", "q_supplier_cnt", "q_top_revenue",
     "q_waiting_supplier", "q_window_suite", "q_winnow_eval",
     "q_zonemap_prune", "q_ann_ivfpq", "q_approx_percentile",
