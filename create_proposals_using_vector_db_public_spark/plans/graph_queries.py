@@ -17,6 +17,22 @@ arithmetic: rank x 1e6, floor division for the per-edge contribution and
 the damping multiply. Every iteration is bit-exact on both engines — the
 same trick the moment-algebra q_anomaly uses, applied to an iterative
 algorithm.
+
+PROVISIONING (measured, round-9 sf30 probe): the degree/triangle pair
+expansion is exactly linear in data (DuckDB ground truth: 120.0M pair
+rows at sf10 -> 360.0M at sf30, ratio 3.0000), but at a FIXED shuffle
+partition count the per-task hash-agg state for the (pa, pb) count grows
+with data and spills: sf10->sf30 at 32 partitions measured alpha = 1.22;
+re-running sf30 at 96 partitions (per-task state held at the sf10-per-32
+level) recovered to alpha = 1.11. Provision spark.sql.shuffle.partitions
+proportional to input size for this family — which is what a real
+cluster does anyway (partitions scale with executors, executors with
+data); AQE can split but won't raise the configured ceiling for this
+compute-bound, byte-light shuffle. Raw numbers:
+tools/bench_local/spot_sf30_diag_r9.json; narrative: SCALE.md
+"Round-9 sf30 spot-check". The registered plans themselves are
+unchanged by this note (plan-signature pins must not move); the knob is
+the session's, set at provisioning time.
 """
 
 from __future__ import annotations

@@ -46,9 +46,11 @@ def test_queries_are_callable_signature():
 
 
 def _load_from_path(modname, relpath):
-    # importlib-by-path, NOT sys.path.insert: a path mutation here would
-    # persist for the rest of the pytest session and could shadow
-    # same-named modules (parity, explain, bench, ...) for later tests.
+    # importlib-by-path, NOT sys.path.insert(tools/): inserting tools/
+    # would shadow same-named modules (parity, explain, bench, ...) for
+    # the rest of the pytest session. (The loaded modules still insert
+    # the repo ROOT themselves at import time — a benign duplicate of
+    # conftest's insert; the shadow-prone path is the one avoided here.)
     import importlib.util
 
     path = os.path.join(os.path.dirname(__file__), "..", relpath)

@@ -110,6 +110,11 @@ def main() -> None:
             order = a.split("=", 1)[1]
     if order not in ("ab", "ba"):
         raise SystemExit(f"--order must be ab or ba, got {order!r}")
+    # any other --flag (e.g. a bare '--order ba' split by the shell) must
+    # error, not silently become the positional sf_dir / crash int(passes)
+    bad = [a for a in argv if a.startswith("--")]
+    if bad:
+        raise SystemExit(f"unrecognized flags {bad}; only --order=ab|ba is supported")
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
     passes = int(argv[1]) if len(argv) > 1 else 3
     if order == "ab":
