@@ -16,6 +16,8 @@ fixture-discriminating value differs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -227,6 +229,31 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.3
 _SEMDEDUP_NCENT = 32
 _SEMDEDUP_CSIZE = 625
+# Production cap on the centroid count (round 10). The paper-faithful
+# proportional default ncent = max(32, n // 625) keeps the PAIR stage
+# linear in n but makes the exact brute-force ASSIGNMENT stage
+# n x ncent = n^2/625 — quadratic total compute, measured at the
+# round-9 sf30 probe (assignment grew 8.66x for 3x data; SCALE.md
+# "Round-9 sf30 spot-check"). Capping ncent at the largest verified
+# codebook (320 = the sf10 operating point, 200_000 // 625) pins
+# assignment work at <= n*320 — exactly linear in n from the knee at
+# n = cap*625 onward — while pair work above that knee grows as
+# n^2/cap instead of 625n. The cap is therefore the owner's
+# compute-budget dial, not a free lunch: the round-10 pricing in
+# SCALE.md measures both stages for both configs at sf1/sf10/sf30 in
+# one host window, records the kept-set delta where the configs
+# diverge, and derives the unbudgeted compute-optimal setting
+# (ncent ~ sqrt(n), total ~ n^1.5 — the exact-semantics lower envelope
+# of this one-level family; approximate routers and norm-bound pruning
+# are forbidden by oracle exactness, see the round-9 adjudication).
+_SEMDEDUP_NCENT_CAP = 320
+
+
+def _semdedup_ncent(n: int, cap: int | None = None) -> int:
+    """Centroid count for a corpus of n vectors: the paper-proportional
+    max(32, n // 625), optionally capped (the production config)."""
+    ncent = max(_SEMDEDUP_NCENT, n // _SEMDEDUP_CSIZE)
+    return ncent if cap is None else min(ncent, cap)
 
 
 _SEMDEDUP_ORACLE = f"""
@@ -296,14 +323,73 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows the trained path). The cluster join key space widens with
     corpus size by construction; AQE skew-join handles the residual
     (session.py enables it)."""
+    return _semdedup_plan(spark, sf_dir)
+
+
+def _semdedup_plan(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """The one SemDeDup plan body, shared verbatim by the proportional
+    default (q_semdedup, cap=None) and the production capped config
+    (q_semdedup_capped) — the two queries differ ONLY in the ncent
+    formula, so any plan improvement serves both."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ncent = max(_SEMDEDUP_NCENT, emb.count() // _SEMDEDUP_CSIZE)
+    ncent = _semdedup_ncent(emb.count(), cap)
     cents = emb.filter(F.col("vec_id") < ncent).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
     assigned = K.ivf_assign(emb.select("vec_id", "embedding"), cents)
     return D.semdedup_keep(assigned, threshold=_SEMDEDUP_TAU)
+
+
+# The capped oracle is the DEFAULT oracle text with exactly one surgical
+# edit — the scalar-subquery ncent expression gains the least(..., cap)
+# wrapper — so q_semdedup's round-9-verified text is untouched by
+# construction and the two texts cannot drift apart anywhere else.
+_SEMDEDUP_CAPPED_ORACLE, _n_sub = re.subn(
+    r"greatest\({n},\s*count\(\*\) // {c}\)".format(
+        n=_SEMDEDUP_NCENT, c=_SEMDEDUP_CSIZE
+    ),
+    "least(greatest({n}, count(*) // {c}), {cap})".format(
+        n=_SEMDEDUP_NCENT, c=_SEMDEDUP_CSIZE, cap=_SEMDEDUP_NCENT_CAP
+    ),
+    _SEMDEDUP_ORACLE,
+)
+if _n_sub != 1:  # fail loudly at import: the anchor must match exactly once
+    raise RuntimeError(
+        f"semdedup capped-oracle substitution matched {_n_sub} times, want 1"
+    )
+
+
+@query("q_semdedup_capped", oracle=_SEMDEDUP_CAPPED_ORACLE)
+def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the PRODUCTION bounded-centroid config:
+    ncent = min(max(32, n // 625), 320) — identical semantics, plan, and
+    oracle algebra to q_semdedup, with the centroid count capped at the
+    largest verified codebook (320, the sf10 operating point).
+
+    Why a second registered config: the proportional default is the
+    paper's own shape (Abbas et al. 2023 — clusters proportional to
+    corpus, 11k for 5B embeddings) and keeps the within-cluster pair
+    stage linear, but its exact brute-force assignment stage is
+    n x (n/625) — quadratic total compute, measured at the round-9 sf30
+    probe (stage ratio 8.66x for 3x data, SCALE.md). A 100 TB owner
+    bounds that by pinning ncent; this query IS that operating point,
+    priced in SCALE.md (round-10 pricing: assignment back at alpha <= 1
+    across sf10->sf30, pair-stage growth and kept-set delta vs the
+    default recorded honestly, both stages for both configs in one host
+    window). Below the knee (n <= 320*625 = 200k vectors, i.e. every
+    driver SF and sf1..sf10) the cap is inactive and the two queries are
+    result-identical by construction; above it the capped config trades
+    bounded assignment compute for n^2/320 pair compute — the dial a
+    fixed-budget owner sets, with ncent ~ sqrt(n) the unbudgeted
+    compute-optimal point of the same knob. Hash-exactness where the cap
+    BINDS is proven by a one-shot parity run on a generated corpus past
+    the knee (n = 250k: ncent 400 -> 320; tools/bench_local/
+    semdedup_capbind_r10.json), not just at driver SFs where the
+    configs coincide."""
+    return _semdedup_plan(spark, sf_dir, cap=_SEMDEDUP_NCENT_CAP)
 
 
 # --- n-gram diversity profiling ----------------------------------------------

@@ -153,6 +153,66 @@ def test_semdedup_drops_some_keeps_most_on_fixture(spark):
     assert kept > total // 2  # tau=0.3 trims the tail, not the corpus
 
 
+# --- bounded-ncent production config (round 10) ------------------------------
+
+def test_semdedup_ncent_formula():
+    """The centroid-count formula at its three regimes: floor (small n),
+    proportional (mid), cap-bound (production). The knee is exactly
+    n = cap * csize = 200k; the capped and default configs must agree
+    everywhere at or below it."""
+    from create_proposals_using_vector_db_public_spark.plans.curation_queries import (
+        _SEMDEDUP_NCENT_CAP,
+        _semdedup_ncent,
+    )
+
+    for n, want_default in [(1, 32), (500, 32), (20_000, 32),
+                            (100_000, 160), (200_000, 320)]:
+        assert _semdedup_ncent(n) == want_default
+        assert _semdedup_ncent(n, _SEMDEDUP_NCENT_CAP) == want_default
+    # above the knee the configs diverge: default keeps growing, cap binds
+    assert _semdedup_ncent(250_000) == 400
+    assert _semdedup_ncent(250_000, _SEMDEDUP_NCENT_CAP) == 320
+    assert _semdedup_ncent(600_000) == 960
+    assert _semdedup_ncent(600_000, _SEMDEDUP_NCENT_CAP) == 320
+
+
+def test_semdedup_capped_oracle_is_one_surgical_edit():
+    """The capped oracle must be the default oracle text with EXACTLY the
+    ncent scalar-subquery expression swapped — nothing else may differ,
+    so q_semdedup's round-9-verified text transfers structurally to the
+    capped variant."""
+    from create_proposals_using_vector_db_public_spark.plans.curation_queries import (
+        _SEMDEDUP_CAPPED_ORACLE,
+        _SEMDEDUP_ORACLE,
+    )
+
+    assert "least(greatest(32, count(*) // 625), 320)" in _SEMDEDUP_CAPPED_ORACLE
+    assert "least(" not in _SEMDEDUP_ORACLE
+    # removing the one edited expression from each text leaves identical
+    # residue (whitespace-normalized: the substitution joins two lines)
+    import re
+
+    def residue(text, expr_pat):
+        return re.sub(r"\s+", " ", re.sub(expr_pat, "<NCENT>", text)).strip()
+
+    assert residue(
+        _SEMDEDUP_ORACLE, r"greatest\(32,\s*count\(\*\) // 625\)"
+    ) == residue(
+        _SEMDEDUP_CAPPED_ORACLE,
+        r"least\(greatest\(32, count\(\*\) // 625\), 320\)",
+    )
+
+
+@needs_fixture
+def test_semdedup_capped_identical_below_knee(spark):
+    """At every driver SF the corpus is far below the 200k-vector knee,
+    so the production capped config must return the exact same kept set
+    as the paper-proportional default (both at the 32-centroid floor)."""
+    a = {tuple(r) for r in QUERIES["q_semdedup"](spark, SF).collect()}
+    b = {tuple(r) for r in QUERIES["q_semdedup_capped"](spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
 @needs_fixture
 def test_ngram_diversity_ratio_bounds(spark):
     rows = QUERIES["q_ngram_diversity"](spark, SF).collect()
