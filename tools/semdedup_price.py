@@ -103,11 +103,20 @@ def run_config(spark, sf_dir: str, cap: int | None, collect_kept: bool):
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_path = None
+    only = None
     for a in sys.argv[1:]:
         if a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a.startswith("--only="):
+            # isolate one config in a fresh JVM — the adjudication run for
+            # wall-vs-compute gaps (a 450 s arm churns the heap the next
+            # arm inherits; an isolated re-run separates engine cost from
+            # JVM history, the q_graph_degree-precedent method)
+            only = a.split("=", 1)[1]
+            if only not in ("default", "capped"):
+                raise SystemExit("--only must be default or capped")
         elif a.startswith("--"):
-            raise SystemExit(f"unrecognized flag {a!r}; only --out=FILE")
+            raise SystemExit(f"unrecognized flag {a!r}; --out=FILE --only=CFG")
     if not args:
         raise SystemExit(__doc__)
     sf_dirs = args
@@ -126,6 +135,8 @@ def main() -> None:
     for sf_dir in sf_dirs:
         tag = os.path.basename(sf_dir.rstrip("/"))
         for cname, cap in (("default", None), ("capped", _SEMDEDUP_NCENT_CAP)):
+            if only is not None and cname != only:
+                continue
             m, kept_ids = run_config(spark, sf_dir, cap, collect_kept=sf_dir == last)
             result["configs"].setdefault(cname, {})[tag] = m
             if kept_ids is not None:
