@@ -83,6 +83,10 @@ HEADLINE = [
     # round-5 additions
     "q_minhash_wide_eval",  # production-shaped 16/4 LSH pricing
     "q_temperature_sample",  # alpha=0.5 language-mix resampling
+    # round-10 addition (the round-7 precedent: every new query gets a
+    # round-over-round wall-time trace; identical to q_semdedup at every
+    # sub-knee SF, so its bench value doubles as a same-plan control)
+    "q_semdedup_capped",  # bounded-centroid SemDeDup production config
 ]
 
 
