@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: min_sec}, "passes": {name: [p0_sec, p1_sec]}, "sf": ...}.
+compact JSON line on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: min_sec}, "sf": ...}. The per-pass raw
+times ({"passes": {name: [p0_sec, p1_sec]}}) go to stderr so the final
+stdout line stays inside the driver's tail capture (VERDICT r10 item 3).
 
 Each query is executed to completion (count-materialized — results stay
 distributed, nothing is collected to the driver beyond the row count, which
@@ -87,6 +89,9 @@ HEADLINE = [
     # round-over-round wall-time trace; identical to q_semdedup at every
     # sub-knee SF, so its bench value doubles as a same-plan control)
     "q_semdedup_capped",  # bounded-centroid SemDeDup production config
+    # round-11 addition (same precedent; at sf0.1 its ncent is 42 vs the
+    # siblings' 32, so it is a near-same-plan control, not an identical one)
+    "q_semdedup_sqrt",    # compute-optimal sqrt(n)-centroid SemDeDup
 ]
 
 
@@ -133,6 +138,17 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in passes.items()}
     total = sum(timings.values())
 
+    # Both raw pass times per query go to STDERR: when a driver-recorded
+    # run diverges from a builder re-run on the same code, a large
+    # pass0/pass1 spread here shows host contention directly instead of
+    # leaving it to inference (VERDICT r3 §perf). They must NOT ride on
+    # the final stdout line — the driver tail-captures stdout and the
+    # ~2.7 KB passes dict pushed the round-10 one-liner past the capture
+    # (BENCH_r10 `parsed: null`, VERDICT r10 item 3). The committed
+    # per-round raw JSONs under tools/bench_local/ carry passes too.
+    print(json.dumps({"passes": passes}), file=sys.stderr)
+    # The driver-parsed line: compact {metric, value, unit, queries, sf}
+    # ONLY, printed last on stdout.
     print(
         json.dumps(
             {
@@ -140,11 +156,6 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                # both raw pass times per query: when a driver-recorded run
-                # diverges from a builder re-run on the same code, a large
-                # pass0/pass1 spread here shows host contention directly
-                # instead of leaving it to inference (VERDICT r3 §perf)
-                "passes": passes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -37,18 +37,18 @@ from . import (  # noqa: F401,E402
 )
 
 # Rebuild the registries in an explicit priority order. The driver checks a
-# bounded 50-entry registry PREFIX per round. The registry is 210 queries /
-# 206 oracles (the 4 oracle-less entries are the rows-only-by-design UDF
-# queries). Cumulative driver coverage closed at 209/209 in round 6 (the
-# 210th, q_semdedup_capped, is new in round 10), so the rotation is pure
-# freshness maintenance: slots 1-N re-earn rows for the queries whose
-# code this round touches, then the ENTIRE list — window and tail alike —
-# runs strictly oldest-driver-evidence-first (per-query latest row across
-# CORRECTNESS_r01-r09: 17 round-5 rows, 48 round-6, 48 round-7,
-# 46 round-8, 50 round-9). A 50-slot window refreshing oldest-first keeps
-# every query's newest driver row at most ~4 rounds old at steady state;
-# after the round-10 window lands, the oldest remaining oracle-bearing
-# evidence is round 6.
+# bounded 50-entry registry PREFIX per round. The registry is 211 queries /
+# 207 oracles (the 4 oracle-less entries are the rows-only-by-design UDF
+# queries). Cumulative driver coverage closed at 209/209 in round 6
+# (q_semdedup_capped is new in round 10, q_semdedup_sqrt in round 11), so
+# the rotation is pure freshness maintenance: slots 1-N re-earn rows for
+# the queries whose code this round touches, then the ENTIRE list — window
+# and tail alike — runs strictly oldest-driver-evidence-first (per-query
+# latest row across CORRECTNESS_r01-r10: 14 round-6 rows, 48 round-7,
+# 46 round-8, 48 oracle-bearing round-9, 50 round-10). A 50-slot window
+# refreshing oldest-first keeps every query's newest driver row at most
+# ~4 rounds old at steady state; after the round-11 window lands, the
+# oldest remaining oracle-bearing evidence is round 7.
 #
 # WINDOW POLICY (round 10, closes the round-9 "what's wrong" #2): the 4
 # oracle-less rows-only-by-design queries (q_multimodal_features,
@@ -60,54 +60,27 @@ from . import (  # noqa: F401,E402
 # a driver run long enough to reach them has already re-verified every
 # oracle-bearing query first.
 _PRIORITY = [
-    # ---- round-10 window, slots 1-2: the queries round 10 touches.
-    # q_semdedup_capped is NEW (the priced bounded-ncent production
-    # config — verdict r9 item 1); its oracle is the default oracle
-    # text with one surgical least(..., 320) substitution. q_semdedup's
-    # oracle text is byte-untouched (the substitution constructs the
-    # capped text FROM it), but its plan body was factored into the
-    # shared _semdedup_plan helper this round, so it re-earns a row on
-    # the refactored code. At sf0.01 the cap is far from binding
-    # (n=500 -> ncent=32 for both), so the two rows are independent
-    # checks of the same plan; the cap-BINDING parity proof is the
-    # committed n=250k one-shot (semdedup_capbind_r10.json). ----
-    "q_semdedup_capped", "q_semdedup",
-    # ---- slots 3-16: the 14 oracle-bearing round-5 rows — the oldest
-    # driver evidence left in the union after round 9. (The other 3
-    # round-5 rows are oracle-less and excluded per the window policy
-    # above.) ----
-    "q_range_join",
-    "q_reident_risk", "q_salted_agg", "q_sample_hash",
-    "q_scan_filter", "q_semi", "q_sessionize",
-    "q_sink_roundtrip", "q_stratified_sample", "q_stream_tumbling",
-    "q_stub_embed", "q_stub_knn", "q_tfidf",
-    "q_variant_json",
-    # ---- slots 17-50: the 34 oldest round-6 rows (current-order
-    # stable within the round). ----
-    "q_ann_ivf", "q_ann_pq", "q_approx_distinct",
-    "q_bloom_join", "q_boilerplate_lines", "q_chunk_split",
-    "q_corr_stats", "q_date_agg", "q_decontaminate",
-    "q_dedup_anti", "q_dedup_content", "q_dedup_exact",
-    "q_delete_rebuild", "q_doc_scan", "q_dup_clusters",
-    "q_e2e_corpus", "q_except", "q_from_json",
-    "q_full_outer", "q_funnel", "q_fuzzy_match",
-    "q_gap_fill", "q_hash_antijoin", "q_incremental_agg",
-    "q_intersect", "q_json_props", "q_knn_cosine",
-    "q_knn_join", "q_minhash_wide_eval", "q_ntile",
-    "q_pack_sequences", "q_pii_scrub", "q_rank_l2",
-    "q_repetition_ratio",
-    # ---- window boundary. Tail: every query below already has a green
-    # driver row; ordered strictly oldest-evidence-first (the 14
-    # remaining round-6 rows, then rounds 7, 8, 9) so extra driver
-    # slots always re-verify the stalest rows before the freshest —
-    # except the 4 oracle-less rows, pinned last per the window
-    # policy. ----
+    # ---- round-11 window, slots 1-3: the queries round 11 touches.
+    # q_semdedup_sqrt is NEW (the measured compute-optimal ncent ~
+    # 0.95*sqrt(n) config — verdict r10 item 2, registered via the
+    # q_semdedup_capped one-substitution oracle pattern; its sqrt-
+    # BINDING parity proof is the committed sf0.1 run where ncent
+    # diverges 42 vs 32). q_semdedup_capped gained the kept-set-
+    # identity docstring caveat (verdict item 4) and q_semdedup shares
+    # the _semdedup_plan body whose signature grew the sqrt_coef
+    # parameter this round — all three re-earn rows on the touched
+    # code. At sf0.01 (n=200) all three formulas floor at ncent=32,
+    # so the rows are independent checks of the same audited plan. ----
+    "q_semdedup_sqrt", "q_semdedup_capped", "q_semdedup",
+    # ---- slots 4-17: the 14 oracle-bearing round-6 rows — the oldest
+    # driver evidence left in the union after round 10. ----
     "q_retention", "q_rollup",
     "q_scd2", "q_sha256", "q_stream_window",
     "q_string", "q_temperature_sample", "q_topk_per_group",
     "q_union_incr", "q_upsert", "q_vec_math",
     "q_window_range", "q_window_running", "q_winnow_dups",
-    # round-7 rows
+    # ---- slots 18-50: the 33 oldest round-7 rows (current-order
+    # stable within the round). ----
     "q_dedup_simhash", "q_simhash_eval", "q_ann_ivf_kmeans",
     "q_ann_lsh", "q_ann_recall", "q_event_pattern",
     "q_gopher_quality", "q_k_anonymity", "q_lag_lead",
@@ -119,6 +92,12 @@ _PRIORITY = [
     "q_dataset_card", "q_dedup_incremental", "q_disjunct_filter",
     "q_e2e_rag", "q_exists_corr", "q_forecast_revenue",
     "q_hll_merge", "q_important_parts", "q_join_multiway",
+    # ---- window boundary. Tail: every query below already has a green
+    # driver row; ordered strictly oldest-evidence-first (the 15
+    # remaining round-7 rows, then rounds 8, 9, 10) so extra driver
+    # slots always re-verify the stalest rows before the freshest —
+    # except the 4 oracle-less rows, pinned last per the window
+    # policy. ----
     "q_knn", "q_large_orders", "q_market_share",
     "q_min_cost_supplier", "q_minhash_eval", "q_mmr_rerank",
     "q_nation_volume", "q_nested_in", "q_order_dist",
@@ -141,8 +120,7 @@ _PRIORITY = [
     "q_pq_recall", "q_quality_score", "q_rare_terms",
     "q_salted_join", "q_schema_evolution", "q_share_of_parent",
     "q_skyline", "q_split_sections",
-    # round-9 rows (freshest oracle-bearing — checked last among them;
-    # q_semdedup is absent here because it re-earns in window slot 2)
+    # round-9 rows
     "q_graph_degree", "q_triangle_count", "q_pagerank",
     "q_sq_recall", "q_stream_dedup", "q_stream_session",
     "q_stream_sliding", "q_table_diff", "q_time_rollup",
@@ -160,6 +138,27 @@ _PRIORITY = [
     "q_negative_sample", "q_ngram_diversity", "q_outer",
     "q_percentiles", "q_pivot", "q_prefix_complete",
     "q_project", "q_prompt_template", "q_quantize_embedding",
+    # round-10 rows (freshest oracle-bearing — checked last; the
+    # semdedup pair is absent here because it re-earns in window
+    # slots 2-3)
+    "q_range_join",
+    "q_reident_risk", "q_salted_agg", "q_sample_hash",
+    "q_scan_filter", "q_semi", "q_sessionize",
+    "q_sink_roundtrip", "q_stratified_sample", "q_stream_tumbling",
+    "q_stub_embed", "q_stub_knn", "q_tfidf",
+    "q_variant_json",
+    "q_ann_ivf", "q_ann_pq", "q_approx_distinct",
+    "q_bloom_join", "q_boilerplate_lines", "q_chunk_split",
+    "q_corr_stats", "q_date_agg", "q_decontaminate",
+    "q_dedup_anti", "q_dedup_content", "q_dedup_exact",
+    "q_delete_rebuild", "q_doc_scan", "q_dup_clusters",
+    "q_e2e_corpus", "q_except", "q_from_json",
+    "q_full_outer", "q_funnel", "q_fuzzy_match",
+    "q_gap_fill", "q_hash_antijoin", "q_incremental_agg",
+    "q_intersect", "q_json_props", "q_knn_cosine",
+    "q_knn_join", "q_minhash_wide_eval", "q_ntile",
+    "q_pack_sequences", "q_pii_scrub", "q_rank_l2",
+    "q_repetition_ratio",
     # ---- rows-only-by-design (no DuckDB oracle POSSIBLE: ML-output
     # queries — see the window policy note above). Pinned at the very
     # end so driver slots never spend on an `err: no_oracle` row while
@@ -172,6 +171,14 @@ _PRIORITY = [
 
 
 def _reorder() -> None:
+    if len(set(_PRIORITY)) != len(_PRIORITY):
+        # fail loudly on duplicates too: a duplicated name would pass the
+        # two membership checks below while the dict rebuild silently
+        # dedups it, shrinking the effective 50-slot driver window by one
+        # and shifting the documented window boundary
+        seen: set[str] = set()
+        dups = sorted({n for n in _PRIORITY if n in seen or seen.add(n)})
+        raise RuntimeError(f"duplicate names in _PRIORITY: {dups}")
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:  # fail loudly: a renamed query must update the priority list
         raise RuntimeError(f"priority queries not registered: {missing}")

@@ -16,6 +16,7 @@ fixture-discriminating value differs.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -249,9 +250,16 @@ _SEMDEDUP_CSIZE = 625
 _SEMDEDUP_NCENT_CAP = 320
 
 
-def _semdedup_ncent(n: int, cap: int | None = None) -> int:
+def _semdedup_ncent(
+    n: int, cap: int | None = None, sqrt_coef: float | None = None
+) -> int:
     """Centroid count for a corpus of n vectors: the paper-proportional
-    max(32, n // 625), optionally capped (the production config)."""
+    max(32, n // 625), optionally capped (the budget config), or —
+    when sqrt_coef is given — max(32, floor(sqrt_coef * sqrt(n))), the
+    unbudgeted compute-optimal setting of the same knob (cap ignored:
+    sqrt growth is already sub-linear everywhere)."""
+    if sqrt_coef is not None:
+        return max(_SEMDEDUP_NCENT, math.floor(sqrt_coef * math.sqrt(n)))
     ncent = max(_SEMDEDUP_NCENT, n // _SEMDEDUP_CSIZE)
     return ncent if cap is None else min(ncent, cap)
 
@@ -327,14 +335,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_plan(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    sqrt_coef: float | None = None,
 ) -> DataFrame:
     """The one SemDeDup plan body, shared verbatim by the proportional
-    default (q_semdedup, cap=None) and the production capped config
-    (q_semdedup_capped) — the two queries differ ONLY in the ncent
-    formula, so any plan improvement serves both."""
+    default (q_semdedup, cap=None), the budget-capped config
+    (q_semdedup_capped), and the compute-optimal sqrt config
+    (q_semdedup_sqrt) — the three queries differ ONLY in the ncent
+    formula, so any plan improvement serves all of them."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ncent = _semdedup_ncent(emb.count(), cap)
+    ncent = _semdedup_ncent(emb.count(), cap, sqrt_coef)
     cents = emb.filter(F.col("vec_id") < ncent).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
@@ -388,8 +400,84 @@ def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     BINDS is proven by a one-shot parity run on a generated corpus past
     the knee (n = 250k: ncent 400 -> 320; tools/bench_local/
     semdedup_capbind_r10.json), not just at driver SFs where the
-    configs coincide."""
+    configs coincide.
+
+    Operational caveat (round-10 measurement): above the knee the
+    configs agree on dropped MASS to 0.1% but the kept IDENTITIES
+    overlap only ~23% (Jaccard, sf30) — which single representative
+    survives a near-duplicate group depends on the clustering — so the
+    config is a provisioning-time choice, not a mid-corpus toggle:
+    switching configs over a partially-deduped corpus re-selects
+    representatives rather than extending the existing kept set."""
     return _semdedup_plan(spark, sf_dir, cap=_SEMDEDUP_NCENT_CAP)
+
+
+# The sqrt-optimal centroid coefficient: c* = sqrt(n * p/a) where a and p
+# are the measured per-unit assignment and pair costs (round-10 pricing,
+# SCALE.md "Round-10 bounded-ncent pricing": a ~= 4.8e-7 s/vector*centroid,
+# p ~= 4.3e-7 s/pair on this box) -> sqrt(p/a) ~= 0.95. Pinned rather than
+# recomputed per run because T(c) = a*n*c + p*n^2/c is FLAT near c*: any
+# coefficient in [0.90, 1.05] lands within ~0.2% of the true minimum, so a
+# stable registered formula beats chasing the third digit of a drifting
+# host's unit-cost ratio.
+_SEMDEDUP_SQRT_COEF = 0.95
+
+# Same construction discipline as the capped oracle: the sqrt oracle is
+# the DEFAULT oracle text with exactly one surgical edit — the scalar-
+# subquery ncent expression becomes the sqrt formula — so q_semdedup's
+# verified text is untouched and the texts cannot drift anywhere else.
+# Float determinism across engines: sqrt() is IEEE-754 correctly rounded
+# in both DuckDB and CPython, 0.95 parses to the same double, and floor
+# of the same double is the same integer — both engines pick the exact
+# same ncent at every n.
+_SEMDEDUP_SQRT_ORACLE, _n_sub_sqrt = re.subn(
+    r"greatest\({n},\s*count\(\*\) // {c}\)".format(
+        n=_SEMDEDUP_NCENT, c=_SEMDEDUP_CSIZE
+    ),
+    "greatest({n}, CAST(floor({coef} * sqrt(count(*))) AS BIGINT))".format(
+        n=_SEMDEDUP_NCENT, coef=_SEMDEDUP_SQRT_COEF
+    ),
+    _SEMDEDUP_ORACLE,
+)
+if _n_sub_sqrt != 1:  # fail loudly at import: the anchor must match once
+    raise RuntimeError(
+        f"semdedup sqrt-oracle substitution matched {_n_sub_sqrt} times, want 1"
+    )
+
+
+@query("q_semdedup_sqrt", oracle=_SEMDEDUP_SQRT_ORACLE)
+def q_semdedup_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the measured compute-optimal centroid count:
+    ncent = max(32, floor(0.95 * sqrt(n))) — identical semantics, plan
+    body, and oracle algebra to q_semdedup; only the ncent formula
+    differs (the one-substitution oracle construction above).
+
+    Why this third config exists: the round-10 pricing measured
+    T(n, c) ~= a*n*c + p*n^2/c with a ~= p ~= 4.5e-7 s/unit on this box,
+    which makes the proportional default (c = n/625) quadratic in total
+    compute and the fixed cap (c = 320) quadratic in the PAIR stage —
+    each optimal only under its own constraint (GPU-cheap assignment,
+    fixed memory budget). The unconstrained minimum of the same knob is
+    c* = sqrt(n * p/a) ~= 0.95*sqrt(n): total compute ~ 2*sqrt(a*p)*n^1.5,
+    the exact-semantics lower envelope of this one-level family
+    (unit-norm embeddings make Elkan-style norm pruning vacuous, and an
+    approximate router changes near-tie assignments, breaking the DuckDB
+    oracle — the round-9 adjudication). The round-11 sf30 measurement
+    validates the round-10 prediction for this config; see SCALE.md
+    "Round-10 bounded-ncent pricing" for the full dial: proportional =
+    GPU-cluster shape, cap = fixed-budget shape, sqrt = CPU-cluster
+    unbudgeted optimum.
+
+    The same kept-set-identity caveat as q_semdedup_capped applies:
+    configs agree on dropped mass, not on which representative survives
+    — a provisioning-time choice, not a mid-corpus toggle.
+
+    Correctness where the formula DIVERGES from the default is proven at
+    sf0.1 (n = 2000: ncent 42 vs the default's floor 32 — a binding-
+    point --exact parity run, the q_semdedup_capped pattern); at the
+    driver's sf0.01 (n = 200) both formulas floor at 32 and the rows are
+    independent checks of the shared plan."""
+    return _semdedup_plan(spark, sf_dir, sqrt_coef=_SEMDEDUP_SQRT_COEF)
 
 
 # --- n-gram diversity profiling ----------------------------------------------

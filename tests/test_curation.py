@@ -176,6 +176,64 @@ def test_semdedup_ncent_formula():
     assert _semdedup_ncent(600_000, _SEMDEDUP_NCENT_CAP) == 320
 
 
+def test_semdedup_ncent_sqrt_formula():
+    """The round-11 sqrt config: ncent = max(32, floor(0.95*sqrt(n))).
+    Floors at 32 with the other configs at the driver's sf0.001/sf0.01,
+    diverges from the default's floor already at sf0.1 (n=2000 -> 42,
+    the binding-point parity SF), and lands at 735 at the sf30
+    measurement point (n=600k) — between the default's 960 and the
+    cap's 320, as the optimum of T(c) = a*n*c + p*n^2/c must."""
+    from create_proposals_using_vector_db_public_spark.plans.curation_queries import (
+        _SEMDEDUP_SQRT_COEF,
+        _semdedup_ncent,
+    )
+
+    def sq(n):
+        return _semdedup_ncent(n, sqrt_coef=_SEMDEDUP_SQRT_COEF)
+
+    assert sq(20) == 32        # sf0.001
+    assert sq(200) == 32       # sf0.01 — coincides with the default: the
+    assert sq(500) == 32       # driver row checks the shared plan
+    assert sq(2_000) == 42     # sf0.1 — binding vs the default's 32
+    assert sq(20_000) == 134   # sf1
+    assert sq(200_000) == 424  # sf10
+    assert sq(600_000) == 735  # sf30 — the round-11 measurement point
+
+
+def test_semdedup_sqrt_oracle_is_one_surgical_edit():
+    """Same construction invariant as the capped oracle: the sqrt oracle
+    must be the default text with EXACTLY the ncent scalar-subquery
+    expression swapped — nothing else may differ."""
+    import re
+
+    from create_proposals_using_vector_db_public_spark.plans.curation_queries import (
+        _SEMDEDUP_ORACLE,
+        _SEMDEDUP_SQRT_ORACLE,
+    )
+
+    sqrt_expr = "greatest(32, CAST(floor(0.95 * sqrt(count(*))) AS BIGINT))"
+    assert sqrt_expr in _SEMDEDUP_SQRT_ORACLE
+    # the default text has sqrt() only in the L2 distance, never in ncent
+    assert "floor(0.95 * sqrt" not in _SEMDEDUP_ORACLE
+
+    def residue(text, expr_pat):
+        return re.sub(r"\s+", " ", re.sub(expr_pat, "<NCENT>", text)).strip()
+
+    assert residue(
+        _SEMDEDUP_ORACLE, r"greatest\(32,\s*count\(\*\) // 625\)"
+    ) == residue(_SEMDEDUP_SQRT_ORACLE, re.escape(sqrt_expr))
+
+
+@needs_fixture
+def test_semdedup_sqrt_identical_at_floor(spark):
+    """At the driver fixture SF (n=20 embeddings) every ncent formula
+    floors at 32, so the sqrt config must return the exact same kept set
+    as the paper-proportional default."""
+    a = {tuple(r) for r in QUERIES["q_semdedup"](spark, SF).collect()}
+    b = {tuple(r) for r in QUERIES["q_semdedup_sqrt"](spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_semdedup_capped_oracle_is_one_surgical_edit():
     """The capped oracle must be the default oracle text with EXACTLY the
     ncent scalar-subquery expression swapped — nothing else may differ,

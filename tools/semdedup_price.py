@@ -20,11 +20,17 @@ drift), BOTH configs run with a persisted stage boundary:
 Configs whose ncent coincide (everywhere at or below the knee
 n = cap * 625 = 200k vectors) still both run — the duplicate arm is a
 free same-window control on measurement noise. At the LARGEST sf_dir the
-kept id-sets of both configs are collected (a few hundred ids — the only
-collect in the tool, of a final result) and the quality delta recorded:
-kept-set symmetric difference plus precision/recall of the capped
-config's DROPPED set against the default's dropped set (the round-9
-verdict's requested form).
+kept id-sets of all configs are collected (a few hundred ids each — the
+only collect in the tool, of a final result, outside the timed region)
+and the pairwise quality deltas recorded: kept-set symmetric difference,
+kept-identity Jaccard (the discriminating statistic), plus dropped-set
+precision/recall (base-rate dominated — reported for continuity with the
+round-9 verdict's requested form, not as the headline).
+
+Round 11 adds the THIRD arm: sqrt (ncent = max(32, floor(0.95*sqrt(n))),
+the registered q_semdedup_sqrt config) — the measurement that validates
+or refutes the round-10 cost model's predicted unbudgeted optimum
+(431 s at sf30 from T(n,c) ~= a*n*c + p*n^2/c).
 
 What the cap buys and what it costs (both measured, neither hidden):
 assignment compute is pinned at <= n * cap (alpha = 1 in n from the knee
@@ -56,6 +62,7 @@ from create_proposals_using_vector_db_public_spark.operators import dedup as D  
 from create_proposals_using_vector_db_public_spark.operators import knn as K  # noqa: E402
 from create_proposals_using_vector_db_public_spark.plans.curation_queries import (  # noqa: E402
     _SEMDEDUP_NCENT_CAP,
+    _SEMDEDUP_SQRT_COEF,
     _SEMDEDUP_TAU,
     _semdedup_ncent,
 )
@@ -65,12 +72,18 @@ from create_proposals_using_vector_db_public_spark.sources import load_table  # 
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def run_config(spark, sf_dir: str, cap: int | None, collect_kept: bool):
+def run_config(
+    spark,
+    sf_dir: str,
+    cap: int | None,
+    sqrt_coef: float | None,
+    collect_kept: bool,
+):
     """One stage-decomposed SemDeDup run; returns the measurement dict
     (and the kept id set when collect_kept)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    ncent = _semdedup_ncent(n, cap)
+    ncent = _semdedup_ncent(n, cap, sqrt_coef)
     cents = emb.filter(F.col("vec_id") < ncent).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
@@ -79,16 +92,18 @@ def run_config(spark, sf_dir: str, cap: int | None, collect_kept: bool):
     assigned = K.ivf_assign(emb.select("vec_id", "embedding"), cents).persist()
     assigned.count()
     t_assign = time.time() - t0
+    # pairs_sec times count() at EVERY SF (round-10 ADVICE: the last point
+    # of the scaling curve used to wrap a collect() instead, giving the
+    # curve's final point different measurement semantics than the rest);
+    # the kept-id collect for the quality delta happens OUTSIDE the timed
+    # region, off the already-computed persisted assignment.
     t1 = time.time()
     kept_df = D.semdedup_keep(assigned, threshold=_SEMDEDUP_TAU)
+    kept = kept_df.count()
+    t_pairs = time.time() - t1
     kept_ids = None
     if collect_kept:
-        kept_rows = kept_df.collect()
-        kept = len(kept_rows)
-        kept_ids = {r["vec_id"] for r in kept_rows}
-    else:
-        kept = kept_df.count()
-    t_pairs = time.time() - t1
+        kept_ids = {r["vec_id"] for r in kept_df.collect()}
     assigned.unpersist()
     return {
         "n": n,
@@ -113,8 +128,8 @@ def main() -> None:
             # arm inherits; an isolated re-run separates engine cost from
             # JVM history, the q_graph_degree-precedent method)
             only = a.split("=", 1)[1]
-            if only not in ("default", "capped"):
-                raise SystemExit("--only must be default or capped")
+            if only not in ("default", "capped", "sqrt"):
+                raise SystemExit("--only must be default, capped, or sqrt")
         elif a.startswith("--"):
             raise SystemExit(f"unrecognized flag {a!r}; --out=FILE --only=CFG")
     if not args:
@@ -123,64 +138,96 @@ def main() -> None:
 
     spark = get_spark("semdedup_price", shuffle_partitions=32)
     result: dict = {
-        "probe": "round-10 bounded-ncent SemDeDup pricing (one host window, "
+        "probe": "bounded/sqrt-ncent SemDeDup pricing (one host window, "
         "ascending SFs, persisted stage boundary; duplicate sub-knee arms "
-        "are same-window controls)",
+        "are same-window controls; uniform count() stage timing)",
         "cap": _SEMDEDUP_NCENT_CAP,
+        "sqrt_coef": _SEMDEDUP_SQRT_COEF,
         "tau": _SEMDEDUP_TAU,
         "configs": {},
     }
     kept_sets: dict = {}
     last = sf_dirs[-1]
+    arms = (
+        ("default", None, None),
+        ("capped", _SEMDEDUP_NCENT_CAP, None),
+        ("sqrt", None, _SEMDEDUP_SQRT_COEF),
+    )
     for sf_dir in sf_dirs:
         tag = os.path.basename(sf_dir.rstrip("/"))
-        for cname, cap in (("default", None), ("capped", _SEMDEDUP_NCENT_CAP)):
+        for cname, cap, coef in arms:
             if only is not None and cname != only:
                 continue
-            m, kept_ids = run_config(spark, sf_dir, cap, collect_kept=sf_dir == last)
+            m, kept_ids = run_config(
+                spark, sf_dir, cap, coef, collect_kept=sf_dir == last
+            )
             result["configs"].setdefault(cname, {})[tag] = m
             if kept_ids is not None:
                 kept_sets[cname] = (kept_ids, m["n"])
             print(f"{tag} {cname}: {json.dumps(m)}", flush=True)
 
-    # quality delta at the largest SF: kept symmetric difference +
-    # precision/recall of the capped DROPPED set vs the default's
-    if len(kept_sets) == 2:
-        (kd, n), (kc, n2) = kept_sets["default"], kept_sets["capped"]
+    # quality delta at the largest SF, every config pair that ran: kept
+    # symmetric difference + kept-identity Jaccard (the discriminating
+    # statistic — dropped precision/recall is base-rate dominated when
+    # both configs drop ~all of the corpus, round-10 ADVICE) + dropped-set
+    # precision/recall of the SECOND config vs the first
+    pairs = [
+        (a, b)
+        for i, a in enumerate(kept_sets)
+        for b in list(kept_sets)[i + 1:]
+    ]
+    for ca, cb in pairs:
+        (ka, n), (kb, n2) = kept_sets[ca], kept_sets[cb]
         assert n == n2
-        union = len(kd | kc)
-        inter_dropped = n - union  # |Dd & Dc| = n - |Kd u Kc|
-        dd, dc = n - len(kd), n - len(kc)
-        result["quality_delta_at_largest"] = {
+        union = len(ka | kb)
+        inter_dropped = n - union  # |Da & Db| = n - |Ka u Kb|
+        da, db = n - len(ka), n - len(kb)
+        result.setdefault("quality_delta_at_largest", {})[f"{cb}_vs_{ca}"] = {
             "sf_dir": last,
-            "kept_default": len(kd),
-            "kept_capped": len(kc),
-            "kept_symmetric_diff": len(kd ^ kc),
-            "kept_jaccard": round(len(kd & kc) / union, 6) if union else 1.0,
-            "dropped_default": dd,
-            "dropped_capped": dc,
-            "dropped_precision_capped_vs_default": round(inter_dropped / dc, 6)
-            if dc
-            else 1.0,
-            "dropped_recall_capped_vs_default": round(inter_dropped / dd, 6)
-            if dd
-            else 1.0,
+            f"kept_{ca}": len(ka),
+            f"kept_{cb}": len(kb),
+            "kept_symmetric_diff": len(ka ^ kb),
+            "kept_jaccard": round(len(ka & kb) / union, 6) if union else 1.0,
+            f"dropped_{ca}": da,
+            f"dropped_{cb}": db,
+            "dropped_precision": round(inter_dropped / db, 6) if db else 1.0,
+            "dropped_recall": round(inter_dropped / da, 6) if da else 1.0,
         }
 
-    # measured per-unit stage costs at the largest SF -> sqrt(n) prediction
+    # measured per-unit stage costs at the largest SF -> sqrt(n) prediction.
+    # Round-10 ADVICE: derive unit costs from EVERY arm that ran (each
+    # config's n*c and n^2/c units are known exactly), average them, and
+    # report the per-arm values so cross-arm spread is visible instead of
+    # asserting a single-arm number.
     try:
-        md = result["configs"]["default"][os.path.basename(last.rstrip("/"))]
-        n, ncent = md["n"], md["ncent"]
-        assign_per_ndotk = md["assign_sec"] / (n * ncent)
-        pairs_per_pair = md["pairs_sec"] / (n * n / ncent)
-        opt = int(math.sqrt(n))
+        tag = os.path.basename(last.rstrip("/"))
+        per_arm_a, per_arm_p = {}, {}
+        for cname, cfg in result["configs"].items():
+            if tag not in cfg:
+                continue
+            m = cfg[tag]
+            n, ncent = m["n"], m["ncent"]
+            per_arm_a[cname] = m["assign_sec"] / (n * ncent)
+            per_arm_p[cname] = m["pairs_sec"] / (n * n / ncent)
+        a_unit = sum(per_arm_a.values()) / len(per_arm_a)
+        p_unit = sum(per_arm_p.values()) / len(per_arm_p)
+        n = result["configs"][next(iter(per_arm_a))][tag]["n"]
+        opt = int(math.sqrt(n * p_unit / a_unit))
         result["sqrt_n_prediction_at_largest"] = {
+            "unit_costs_per_arm": {
+                c: {"assign_per_unit": round(per_arm_a[c], 10),
+                    "pairs_per_unit": round(per_arm_p[c], 10)}
+                for c in per_arm_a
+            },
+            "assign_per_unit_avg": round(a_unit, 10),
+            "pairs_per_unit_avg": round(p_unit, 10),
             "ncent_opt": opt,
-            "predicted_assign_sec": round(assign_per_ndotk * n * opt, 1),
-            "predicted_pairs_sec": round(pairs_per_pair * n * n / opt, 1),
-            "note": "derived from the default config's measured per-unit "
-            "stage costs at the largest SF; the unbudgeted compute-optimal "
-            "setting of the SAME knob (total ~ n^1.5), not a third config",
+            "predicted_assign_sec": round(a_unit * n * opt, 1),
+            "predicted_pairs_sec": round(p_unit * n * n / opt, 1),
+            "note": "c* = sqrt(n*p/a) from per-unit stage costs averaged "
+            "across every arm in this window; compare against the sqrt "
+            "arm's measured row when it ran (q_semdedup_sqrt pins the "
+            "registered coefficient at 0.95)",
         }
     except (KeyError, ZeroDivisionError):
         pass
