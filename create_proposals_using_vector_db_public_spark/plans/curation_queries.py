@@ -463,20 +463,26 @@ def q_semdedup_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unit-norm embeddings make Elkan-style norm pruning vacuous, and an
     approximate router changes near-tie assignments, breaking the DuckDB
     oracle — the round-9 adjudication). The round-11 sf30 measurement
-    validates the round-10 prediction for this config; see SCALE.md
-    "Round-10 bounded-ncent pricing" for the full dial: proportional =
-    GPU-cluster shape, cap = fixed-budget shape, sqrt = CPU-cluster
-    unbudgeted optimum.
+    CONFIRMED the prediction: 406.9 s measured vs 431 predicted (0.944x),
+    0.85x the default's and 0.67x the capped's totals in the same host
+    window; isolated fresh-JVM re-run 400.9 s. See SCALE.md "Round-11
+    sqrt-ncent validation" for the full dial: proportional = GPU-cluster
+    shape, cap = fixed-budget shape, sqrt = CPU-cluster unbudgeted
+    optimum.
 
     The same kept-set-identity caveat as q_semdedup_capped applies:
     configs agree on dropped mass, not on which representative survives
-    — a provisioning-time choice, not a mid-corpus toggle.
+    — a provisioning-time choice, not a mid-corpus toggle. Measured at
+    sf30, this config is the LEAST disruptive switch from the default
+    (kept-identity Jaccard 0.74 vs the cap's 0.23; dropped recall
+    0.99994 — it re-drops all but 38 of the default's 599k drops).
 
-    Correctness where the formula DIVERGES from the default is proven at
-    sf0.1 (n = 2000: ncent 42 vs the default's floor 32 — a binding-
-    point --exact parity run, the q_semdedup_capped pattern); at the
-    driver's sf0.01 (n = 200) both formulas floor at 32 and the rows are
-    independent checks of the shared plan."""
+    Correctness where the formula DIVERGES from the default is proven
+    TWICE (the q_semdedup_capped binding-point pattern): at sf0.1
+    (n = 2000: ncent 42 vs the default's floor 32) and at 100x bench
+    scale, sf10 (n = 200k: ncent 424 vs 320, 793 rows hash-exact); at
+    the driver's sf0.01 (n = 200) both formulas floor at 32 and the
+    rows are independent checks of the shared plan."""
     return _semdedup_plan(spark, sf_dir, sqrt_coef=_SEMDEDUP_SQRT_COEF)
 
 
