@@ -60,61 +60,43 @@ from . import (  # noqa: F401,E402
 # a driver run long enough to reach them has already re-verified every
 # oracle-bearing query first.
 _PRIORITY = [
-    # ---- round-11 window, slots 1-3: the queries round 11 touches.
-    # q_semdedup_sqrt is NEW (the measured compute-optimal ncent ~
-    # 0.95*sqrt(n) config — verdict r10 item 2, registered via the
-    # q_semdedup_capped one-substitution oracle pattern; its sqrt-
-    # BINDING parity proof is the committed sf0.1 run where ncent
-    # diverges 42 vs 32). q_semdedup_capped gained the kept-set-
-    # identity docstring caveat (verdict item 4) and q_semdedup shares
-    # the _semdedup_plan body whose signature grew the sqrt_coef
-    # parameter this round — all three re-earn rows on the touched
-    # code. At sf0.01 (n=200) all three formulas floor at ncent=32,
-    # so the rows are independent checks of the same audited plan. ----
+    # ---- round-12 window, slots 1-3: the queries round 12 touches.
+    # _semdedup_ncent gained the cap/sqrt_coef mutual-exclusion guard
+    # (round-11 ADVICE) — the helper all three semdedup plans call — so
+    # the trio re-earns its rows on the touched code. The guard changes
+    # no legal call's result (pinned by
+    # test_semdedup_ncent_config_mutual_exclusion) and no plan
+    # signature. ----
     "q_semdedup_sqrt", "q_semdedup_capped", "q_semdedup",
-    # ---- slots 4-17: the 14 oracle-bearing round-6 rows — the oldest
-    # driver evidence left in the union after round 10. ----
-    "q_retention", "q_rollup",
-    "q_scd2", "q_sha256", "q_stream_window",
-    "q_string", "q_temperature_sample", "q_topk_per_group",
-    "q_union_incr", "q_upsert", "q_vec_math",
-    "q_window_range", "q_window_running", "q_winnow_dups",
-    # ---- slots 18-50: the 33 oldest round-7 rows (current-order
-    # stable within the round). ----
-    "q_dedup_simhash", "q_simhash_eval", "q_ann_ivf_kmeans",
-    "q_ann_lsh", "q_ann_recall", "q_event_pattern",
-    "q_gopher_quality", "q_k_anonymity", "q_lag_lead",
-    "q_scalar_subquery", "q_stream_join", "q_stream_stateful",
-    "q_stream_stream_join", "q_udf_trimmed_mean", "q_udtf_tokens",
-    "q_agg_basic", "q_ann_rerank", "q_anomaly",
-    "q_avg_subquery", "q_bpe_encode", "q_cdc_apply",
-    "q_cms_heavy", "q_compaction", "q_cust_no_orders",
-    "q_dataset_card", "q_dedup_incremental", "q_disjunct_filter",
-    "q_e2e_rag", "q_exists_corr", "q_forecast_revenue",
-    "q_hll_merge", "q_important_parts", "q_join_multiway",
-    # ---- window boundary. Tail: every query below already has a green
-    # driver row; ordered strictly oldest-evidence-first (the 15
-    # remaining round-7 rows, then rounds 8, 9, 10) so extra driver
-    # slots always re-verify the stalest rows before the freshest —
-    # except the 4 oracle-less rows, pinned last per the window
-    # policy. ----
+    # ---- slots 4-18: the 15 oracle-bearing round-7 rows — the oldest
+    # driver evidence left in the union after round 11 (histogram
+    # r11x50 r10x48 r9x48 r8x46 r7x15, recomputed from
+    # CORRECTNESS_r01-r11 this round). ----
     "q_knn", "q_large_orders", "q_market_share",
     "q_min_cost_supplier", "q_minhash_eval", "q_mmr_rerank",
     "q_nation_volume", "q_nested_in", "q_order_dist",
     "q_pickle_roundtrip", "q_pickle_stream", "q_priority_mix",
     "q_product_profit", "q_profile", "q_promo_share",
-    # round-8 rows
+    # ---- slots 19-50: the 32 oldest round-8 rows (registry-order
+    # stable within the round). ----
     "q_query_expansion", "q_returned_items", "q_rrf_fusion",
-    "q_ship_priority", "q_snapshot_read",
-    "q_sql_interface", "q_supplier_cnt", "q_top_revenue",
-    "q_waiting_supplier", "q_window_suite", "q_winnow_eval",
-    "q_zonemap_prune", "q_ann_ivfpq", "q_approx_percentile",
-    "q_bpe_merges", "q_centroid_label", "q_chunk_fixed",
-    "q_collocations", "q_comma_parse", "q_contingency",
-    "q_cosine_topk", "q_domain_mix", "q_dq_audit",
-    "q_ewma_smooth", "q_format_roundtrip", "q_grouping_sets",
-    "q_heavy_hitters", "q_histogram", "q_interval_overlap",
-    "q_inverted_search", "q_ivm_join", "q_lang_id",
+    "q_ship_priority", "q_snapshot_read", "q_sql_interface",
+    "q_supplier_cnt", "q_top_revenue", "q_waiting_supplier",
+    "q_window_suite", "q_winnow_eval", "q_zonemap_prune",
+    "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
+    "q_centroid_label", "q_chunk_fixed", "q_collocations",
+    "q_comma_parse", "q_contingency", "q_cosine_topk",
+    "q_domain_mix", "q_dq_audit", "q_ewma_smooth",
+    "q_format_roundtrip", "q_grouping_sets", "q_heavy_hitters",
+    "q_histogram", "q_interval_overlap", "q_inverted_search",
+    "q_ivm_join", "q_lang_id",
+    # ---- window boundary. Tail: every query below already has a green
+    # driver row; ordered strictly oldest-evidence-first (the 14
+    # remaining round-8 rows, then rounds 9, 10, 11) so extra driver
+    # slots always re-verify the stalest rows before the freshest —
+    # except the 4 oracle-less rows, pinned last per the window
+    # policy. ----
+    # remaining round-8 rows
     "q_map_arrow", "q_map_ops", "q_multimodal_frames",
     "q_multimodal_meta", "q_ols", "q_partitioned_sink",
     "q_pq_recall", "q_quality_score", "q_rare_terms",
@@ -127,44 +109,55 @@ _PRIORITY = [
     "q_token_count", "q_transitions", "q_trigram_typicality",
     "q_udf_arrow", "q_udf_groupnorm", "q_udtf_analyze",
     "q_unpivot", "q_vocab_coverage", "q_yoy_growth",
-    "q_zorder_layout",
-    "q_agg_distinct", "q_anti", "q_array_ops",
-    "q_asof_join", "q_bm25", "q_bucketed_join",
-    "q_corpus_shuffle", "q_cube", "q_dedup_embedding",
-    "q_dedup_fingerprint", "q_dedup_minhash", "q_dedup_ngram",
-    "q_dedup_url", "q_dsir_select", "q_join_broadcast",
-    "q_join_shuffle", "q_kw_fallback", "q_kw_stopfilter",
-    "q_line_dedup", "q_multimodal_hist",
+    "q_zorder_layout", "q_agg_distinct", "q_anti",
+    "q_array_ops", "q_asof_join", "q_bm25",
+    "q_bucketed_join", "q_corpus_shuffle", "q_cube",
+    "q_dedup_embedding", "q_dedup_fingerprint", "q_dedup_minhash",
+    "q_dedup_ngram", "q_dedup_url", "q_dsir_select",
+    "q_join_broadcast", "q_join_shuffle", "q_kw_fallback",
+    "q_kw_stopfilter", "q_line_dedup", "q_multimodal_hist",
     "q_negative_sample", "q_ngram_diversity", "q_outer",
     "q_percentiles", "q_pivot", "q_prefix_complete",
     "q_project", "q_prompt_template", "q_quantize_embedding",
-    # round-10 rows (freshest oracle-bearing — checked last; the
-    # semdedup pair is absent here because it re-earns in window
-    # slots 2-3)
-    "q_range_join",
-    "q_reident_risk", "q_salted_agg", "q_sample_hash",
-    "q_scan_filter", "q_semi", "q_sessionize",
-    "q_sink_roundtrip", "q_stratified_sample", "q_stream_tumbling",
-    "q_stub_embed", "q_stub_knn", "q_tfidf",
-    "q_variant_json",
-    "q_ann_ivf", "q_ann_pq", "q_approx_distinct",
-    "q_bloom_join", "q_boilerplate_lines", "q_chunk_split",
-    "q_corr_stats", "q_date_agg", "q_decontaminate",
-    "q_dedup_anti", "q_dedup_content", "q_dedup_exact",
-    "q_delete_rebuild", "q_doc_scan", "q_dup_clusters",
-    "q_e2e_corpus", "q_except", "q_from_json",
-    "q_full_outer", "q_funnel", "q_fuzzy_match",
-    "q_gap_fill", "q_hash_antijoin", "q_incremental_agg",
-    "q_intersect", "q_json_props", "q_knn_cosine",
-    "q_knn_join", "q_minhash_wide_eval", "q_ntile",
-    "q_pack_sequences", "q_pii_scrub", "q_rank_l2",
-    "q_repetition_ratio",
-    # ---- rows-only-by-design (no DuckDB oracle POSSIBLE: ML-output
-    # queries — see the window policy note above). Pinned at the very
-    # end so driver slots never spend on an `err: no_oracle` row while
-    # any oracle-bearing query is staler. Their correctness surface =
-    # in-plan self-asserting invariants + hash-exact siblings
-    # (q_multimodal_hist, q_stub_embed, q_stub_knn, q_kw_fallback). ----
+    # round-10 rows
+    "q_range_join", "q_reident_risk", "q_salted_agg",
+    "q_sample_hash", "q_scan_filter", "q_semi",
+    "q_sessionize", "q_sink_roundtrip", "q_stratified_sample",
+    "q_stream_tumbling", "q_stub_embed", "q_stub_knn",
+    "q_tfidf", "q_variant_json", "q_ann_ivf",
+    "q_ann_pq", "q_approx_distinct", "q_bloom_join",
+    "q_boilerplate_lines", "q_chunk_split", "q_corr_stats",
+    "q_date_agg", "q_decontaminate", "q_dedup_anti",
+    "q_dedup_content", "q_dedup_exact", "q_delete_rebuild",
+    "q_doc_scan", "q_dup_clusters", "q_e2e_corpus",
+    "q_except", "q_from_json", "q_full_outer",
+    "q_funnel", "q_fuzzy_match", "q_gap_fill",
+    "q_hash_antijoin", "q_incremental_agg", "q_intersect",
+    "q_json_props", "q_knn_cosine", "q_knn_join",
+    "q_minhash_wide_eval", "q_ntile", "q_pack_sequences",
+    "q_pii_scrub", "q_rank_l2", "q_repetition_ratio",
+    # round-11 rows (freshest oracle-bearing — checked last; the
+    # semdedup trio is absent here because it re-earns in window
+    # slots 1-3)
+    "q_retention", "q_rollup", "q_scd2",
+    "q_sha256", "q_stream_window", "q_string",
+    "q_temperature_sample", "q_topk_per_group", "q_union_incr",
+    "q_upsert", "q_vec_math", "q_window_range",
+    "q_window_running", "q_winnow_dups", "q_dedup_simhash",
+    "q_simhash_eval", "q_ann_ivf_kmeans", "q_ann_lsh",
+    "q_ann_recall", "q_event_pattern", "q_gopher_quality",
+    "q_k_anonymity", "q_lag_lead", "q_scalar_subquery",
+    "q_stream_join", "q_stream_stateful", "q_stream_stream_join",
+    "q_udf_trimmed_mean", "q_udtf_tokens", "q_agg_basic",
+    "q_ann_rerank", "q_anomaly", "q_avg_subquery",
+    "q_bpe_encode", "q_cdc_apply", "q_cms_heavy",
+    "q_compaction", "q_cust_no_orders", "q_dataset_card",
+    "q_dedup_incremental", "q_disjunct_filter", "q_e2e_rag",
+    "q_exists_corr", "q_forecast_revenue", "q_hll_merge",
+    "q_important_parts", "q_join_multiway",
+    # ---- rows-only-by-design queries (no DuckDB oracle; a window slot
+    # here could only record `err: no_oracle`) — pinned at the tail per
+    # the round-10 window policy. ----
     "q_multimodal_features", "q_udf_embed", "q_udf_embed_knn",
     "q_udf_keywords",
 ]

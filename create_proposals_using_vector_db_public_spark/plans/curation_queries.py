@@ -256,8 +256,17 @@ def _semdedup_ncent(
     """Centroid count for a corpus of n vectors: the paper-proportional
     max(32, n // 625), optionally capped (the budget config), or —
     when sqrt_coef is given — max(32, floor(sqrt_coef * sqrt(n))), the
-    unbudgeted compute-optimal setting of the same knob (cap ignored:
-    sqrt growth is already sub-linear everywhere)."""
+    unbudgeted compute-optimal setting of the same knob.
+
+    ``cap`` and ``sqrt_coef`` are mutually exclusive: a cap has nothing
+    to bound on the sqrt curve (sub-linear everywhere), so a caller
+    passing both is confusing two configs — fail loudly rather than
+    silently ignore the cap (round-11 ADVICE)."""
+    if sqrt_coef is not None and cap is not None:
+        raise ValueError(
+            "cap and sqrt_coef are mutually exclusive SemDeDup configs; "
+            f"got cap={cap!r} and sqrt_coef={sqrt_coef!r}"
+        )
     if sqrt_coef is not None:
         return max(_SEMDEDUP_NCENT, math.floor(sqrt_coef * math.sqrt(n)))
     ncent = max(_SEMDEDUP_NCENT, n // _SEMDEDUP_CSIZE)

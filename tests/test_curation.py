@@ -176,6 +176,29 @@ def test_semdedup_ncent_formula():
     assert _semdedup_ncent(600_000, _SEMDEDUP_NCENT_CAP) == 320
 
 
+def test_semdedup_ncent_config_mutual_exclusion():
+    """cap and sqrt_coef name different configs of the same knob; a
+    caller passing both is confused and must hear about it loudly
+    instead of getting an uncapped result (round-11 ADVICE). Passing
+    either alone — or neither — stays valid."""
+    import pytest
+
+    from create_proposals_using_vector_db_public_spark.plans.curation_queries import (
+        _SEMDEDUP_NCENT_CAP,
+        _SEMDEDUP_SQRT_COEF,
+        _semdedup_ncent,
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _semdedup_ncent(
+            600_000, cap=_SEMDEDUP_NCENT_CAP, sqrt_coef=_SEMDEDUP_SQRT_COEF
+        )
+    # the three legal call shapes are unchanged by the guard
+    assert _semdedup_ncent(600_000) == 960
+    assert _semdedup_ncent(600_000, cap=_SEMDEDUP_NCENT_CAP) == 320
+    assert _semdedup_ncent(600_000, sqrt_coef=_SEMDEDUP_SQRT_COEF) == 735
+
+
 def test_semdedup_ncent_sqrt_formula():
     """The round-11 sqrt config: ncent = max(32, floor(0.95*sqrt(n))).
     Floors at 32 with the other configs at the driver's sf0.001/sf0.01,

@@ -98,12 +98,21 @@ def run_config(
     # the kept-id collect for the quality delta happens OUTSIDE the timed
     # region, off the already-computed persisted assignment.
     t1 = time.time()
-    kept_df = D.semdedup_keep(assigned, threshold=_SEMDEDUP_TAU)
+    # kept_df is persisted BEFORE the timed count (round-11 ADVICE): the
+    # quality-delta collect at the largest SF otherwise re-executes the
+    # whole pair stage — ~minutes of duplicated wall per collecting arm
+    # at sf30. Persisting in EVERY arm at EVERY SF keeps the timed
+    # count()'s semantics uniform across the sweep (the round-10 lesson:
+    # never give one point of the curve different measurement semantics);
+    # the cache write itself is negligible — kept_df is the narrow
+    # (vec_id, centroid_id) survivor set, ~1k rows at sf30.
+    kept_df = D.semdedup_keep(assigned, threshold=_SEMDEDUP_TAU).persist()
     kept = kept_df.count()
     t_pairs = time.time() - t1
     kept_ids = None
     if collect_kept:
         kept_ids = {r["vec_id"] for r in kept_df.collect()}
+    kept_df.unpersist()
     assigned.unpersist()
     return {
         "n": n,
