@@ -44,11 +44,12 @@ from . import (  # noqa: F401,E402
 # the rotation is pure freshness maintenance: slots 1-N re-earn rows for
 # the queries whose code this round touches, then the ENTIRE list — window
 # and tail alike — runs strictly oldest-driver-evidence-first (per-query
-# latest row across CORRECTNESS_r01-r10: 14 round-6 rows, 48 round-7,
-# 46 round-8, 48 oracle-bearing round-9, 50 round-10). A 50-slot window
+# latest row across CORRECTNESS_r01-r12, recomputed this round:
+# 14 round-8 rows, 48 oracle-bearing round-9, 48 round-10, 47 round-11,
+# 50 round-12; rows-only four at r9/r5 per policy). A 50-slot window
 # refreshing oldest-first keeps every query's newest driver row at most
-# ~4 rounds old at steady state; after the round-11 window lands, the
-# oldest remaining oracle-bearing evidence is round 7.
+# ~4 rounds old at steady state; after the round-13 window lands, the
+# oldest remaining oracle-bearing evidence is round 9.
 #
 # WINDOW POLICY (round 10, closes the round-9 "what's wrong" #2): the 4
 # oracle-less rows-only-by-design queries (q_multimodal_features,
@@ -60,49 +61,23 @@ from . import (  # noqa: F401,E402
 # a driver run long enough to reach them has already re-verified every
 # oracle-bearing query first.
 _PRIORITY = [
-    # ---- round-12 window, slots 1-3: the queries round 12 touches.
-    # _semdedup_ncent gained the cap/sqrt_coef mutual-exclusion guard
-    # (round-11 ADVICE) — the helper all three semdedup plans call — so
-    # the trio re-earns its rows on the touched code. The guard changes
-    # no legal call's result (pinned by
-    # test_semdedup_ncent_config_mutual_exclusion) and no plan
-    # signature. ----
-    "q_semdedup_sqrt", "q_semdedup_capped", "q_semdedup",
-    # ---- slots 4-18: the 15 oracle-bearing round-7 rows — the oldest
-    # driver evidence left in the union after round 11 (histogram
-    # r11x50 r10x48 r9x48 r8x46 r7x15, recomputed from
-    # CORRECTNESS_r01-r11 this round). ----
-    "q_knn", "q_large_orders", "q_market_share",
-    "q_min_cost_supplier", "q_minhash_eval", "q_mmr_rerank",
-    "q_nation_volume", "q_nested_in", "q_order_dist",
-    "q_pickle_roundtrip", "q_pickle_stream", "q_priority_mix",
-    "q_product_profit", "q_profile", "q_promo_share",
-    # ---- slots 19-50: the 32 oldest round-8 rows (registry-order
-    # stable within the round). ----
-    "q_query_expansion", "q_returned_items", "q_rrf_fusion",
-    "q_ship_priority", "q_snapshot_read", "q_sql_interface",
-    "q_supplier_cnt", "q_top_revenue", "q_waiting_supplier",
-    "q_window_suite", "q_winnow_eval", "q_zonemap_prune",
-    "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
-    "q_centroid_label", "q_chunk_fixed", "q_collocations",
-    "q_comma_parse", "q_contingency", "q_cosine_topk",
-    "q_domain_mix", "q_dq_audit", "q_ewma_smooth",
-    "q_format_roundtrip", "q_grouping_sets", "q_heavy_hitters",
-    "q_histogram", "q_interval_overlap", "q_inverted_search",
-    "q_ivm_join", "q_lang_id",
-    # ---- window boundary. Tail: every query below already has a green
-    # driver row; ordered strictly oldest-evidence-first (the 14
-    # remaining round-8 rows, then rounds 9, 10, 11) so extra driver
-    # slots always re-verify the stalest rows before the freshest —
-    # except the 4 oracle-less rows, pinned last per the window
-    # policy. ----
-    # remaining round-8 rows
+    # ---- round-13 window. Round 13 touches NO query code and NO oracle
+    # text (its only code delta is a timing-semantics version field in
+    # tools/semdedup_price.py — a measurement tool outside the registry),
+    # so there are no touched-query slots: the window is pure
+    # oldest-evidence-first rotation, exactly the round-12 verdict's
+    # prescription. ----
+    # ---- slots 1-14: the 14 remaining round-8 rows — the oldest driver
+    # evidence in the union (histogram after r12: r12x50 r11x47 r10x48
+    # r9x48-oracle-bearing r8x14, recomputed from CORRECTNESS_r01-r12
+    # this round). ----
     "q_map_arrow", "q_map_ops", "q_multimodal_frames",
     "q_multimodal_meta", "q_ols", "q_partitioned_sink",
     "q_pq_recall", "q_quality_score", "q_rare_terms",
     "q_salted_join", "q_schema_evolution", "q_share_of_parent",
     "q_skyline", "q_split_sections",
-    # round-9 rows
+    # ---- slots 15-50: the 36 oldest round-9 rows (registry-order
+    # stable within the round). ----
     "q_graph_degree", "q_triangle_count", "q_pagerank",
     "q_sq_recall", "q_stream_dedup", "q_stream_session",
     "q_stream_sliding", "q_table_diff", "q_time_rollup",
@@ -115,6 +90,13 @@ _PRIORITY = [
     "q_dedup_embedding", "q_dedup_fingerprint", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_url", "q_dsir_select",
     "q_join_broadcast", "q_join_shuffle", "q_kw_fallback",
+    # ---- window boundary. Tail: every query below already has a green
+    # driver row; ordered strictly oldest-evidence-first (the 12
+    # remaining round-9 rows, then rounds 10, 11, 12) so extra driver
+    # slots always re-verify the stalest rows before the freshest —
+    # except the 4 oracle-less rows, pinned last per the window
+    # policy. ----
+    # remaining round-9 rows
     "q_kw_stopfilter", "q_line_dedup", "q_multimodal_hist",
     "q_negative_sample", "q_ngram_diversity", "q_outer",
     "q_percentiles", "q_pivot", "q_prefix_complete",
@@ -136,9 +118,7 @@ _PRIORITY = [
     "q_json_props", "q_knn_cosine", "q_knn_join",
     "q_minhash_wide_eval", "q_ntile", "q_pack_sequences",
     "q_pii_scrub", "q_rank_l2", "q_repetition_ratio",
-    # round-11 rows (freshest oracle-bearing — checked last; the
-    # semdedup trio is absent here because it re-earns in window
-    # slots 1-3)
+    # round-11 rows
     "q_retention", "q_rollup", "q_scd2",
     "q_sha256", "q_stream_window", "q_string",
     "q_temperature_sample", "q_topk_per_group", "q_union_incr",
@@ -155,6 +135,26 @@ _PRIORITY = [
     "q_dedup_incremental", "q_disjunct_filter", "q_e2e_rag",
     "q_exists_corr", "q_forecast_revenue", "q_hll_merge",
     "q_important_parts", "q_join_multiway",
+    # round-12 rows (freshest oracle-bearing — checked last; these are
+    # the 50 queries the round-12 window re-earned: the semdedup trio,
+    # the 15 round-7 rows, and the 32 round-8 rows)
+    "q_semdedup_sqrt", "q_semdedup_capped", "q_semdedup",
+    "q_knn", "q_large_orders", "q_market_share",
+    "q_min_cost_supplier", "q_minhash_eval", "q_mmr_rerank",
+    "q_nation_volume", "q_nested_in", "q_order_dist",
+    "q_pickle_roundtrip", "q_pickle_stream", "q_priority_mix",
+    "q_product_profit", "q_profile", "q_promo_share",
+    "q_query_expansion", "q_returned_items", "q_rrf_fusion",
+    "q_ship_priority", "q_snapshot_read", "q_sql_interface",
+    "q_supplier_cnt", "q_top_revenue", "q_waiting_supplier",
+    "q_window_suite", "q_winnow_eval", "q_zonemap_prune",
+    "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
+    "q_centroid_label", "q_chunk_fixed", "q_collocations",
+    "q_comma_parse", "q_contingency", "q_cosine_topk",
+    "q_domain_mix", "q_dq_audit", "q_ewma_smooth",
+    "q_format_roundtrip", "q_grouping_sets", "q_heavy_hitters",
+    "q_histogram", "q_interval_overlap", "q_inverted_search",
+    "q_ivm_join", "q_lang_id",
     # ---- rows-only-by-design queries (no DuckDB oracle; a window slot
     # here could only record `err: no_oracle`) — pinned at the tail per
     # the round-10 window policy. ----

@@ -150,6 +150,15 @@ def main() -> None:
         "probe": "bounded/sqrt-ncent SemDeDup pricing (one host window, "
         "ascending SFs, persisted stage boundary; duplicate sub-knee arms "
         "are same-window controls; uniform count() stage timing)",
+        # Measurement-semantics version (round-12 ADVICE): the round-12
+        # kept_df-persist change moved the cache-materialization write
+        # INSIDE the timed pairs_sec region, so pairs timings from this
+        # tool are not strictly comparable with the pre-round-12 committed
+        # records (semdedup_price_r10/r11.json carry no such field and
+        # predate the boundary). Bump this string whenever the timed
+        # region's semantics change again, so cross-round comparisons can
+        # detect the boundary mechanically instead of by reading comments.
+        "timing_semantics": "persisted-kept r12",
         "cap": _SEMDEDUP_NCENT_CAP,
         "sqrt_coef": _SEMDEDUP_SQRT_COEF,
         "tau": _SEMDEDUP_TAU,
