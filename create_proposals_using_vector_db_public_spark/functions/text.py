@@ -174,12 +174,16 @@ def stub_embeddings_df(df, id_col: str = "doc_id", text_col: str = "text",
         (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("__t"), 1, 1)) - 1)
         .alias("__b"),
     )
+    # one expr parse per generated column (functions.vectors discipline) —
+    # the per-dimension Column loop costs ~5 py4j round-trips per bucket
     sums = [
-        F.sum((F.col("__b") == d).cast("int")).alias(f"__c{d}") for d in range(dim)
+        F.expr(f"sum(CAST((__b = {d}) AS INT)) AS __c{d}") for d in range(dim)
     ]
     agged = hashed.groupBy(id_col).agg(*sums)
-    emb = F.array(*[F.col(f"__c{d}").cast("double") for d in range(dim)])
-    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    emb = F.expr(
+        "array(" + ", ".join(f"CAST(__c{d} AS DOUBLE)" for d in range(dim)) + ")"
+    )
+    zeros = F.expr("array(" + ", ".join(["0D"] * dim) + ")")
     sigs = agged.select(F.col(id_col), emb.alias("emb"))
     return (
         df.select(id_col)

@@ -162,12 +162,13 @@ def minhash_signatures(
     matching the NULL-signature filter of the row-local form.
     """
     hashed = shingle_hashes_exploded(df, id_col, text_col, shingle_words)
+    # one expr parse per signature column (the loop otherwise pays ~8 py4j
+    # round-trips per hash function — functions.vectors discipline)
     mins = []
     for j in range(num_hashes):
         a, b = affine_params(j)
         mins.append(
-            F.min((F.lit(a) * F.col("__s") + F.lit(b)) % F.lit(MINHASH_P))
-            .alias(f"mh{j}")
+            F.expr(f"min(({a} * __s + {b}) % {MINHASH_P}) AS mh{j}")
         )
     return hashed.groupBy(id_col).agg(*mins)
 
@@ -231,9 +232,8 @@ def lsh_candidate_pairs(
         "band_idx",
         "band_hash",
     )
-    agree = sum(
-        F.when(F.col(f"{c}_a") == F.col(f"{c}_b"), 1).otherwise(0)
-        for c in sig_names
+    agree_sql = " + ".join(
+        f"(CASE WHEN {c}_a = {c}_b THEN 1 ELSE 0 END)" for c in sig_names
     )
     # merge hint: AQE otherwise broadcasts one side, which re-materializes
     # the ENTIRE signature pipeline as a broadcast subtree (measured 2.5x
@@ -247,7 +247,8 @@ def lsh_candidate_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(agree / F.lit(float(len(sig_names))), 6).alias("est_jaccard"),
+            F.round(F.expr(agree_sql) / F.lit(float(len(sig_names))), 6)
+            .alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -600,38 +601,34 @@ def simhash_signatures(
         )
     hashed = shingle_hashes_exploded(df, id_col, text_col, shingle_words or 3)
     distinct = hashed.dropDuplicates([id_col, "__s"])
+    # whole-string expression construction: the per-bit loop otherwise
+    # costs ~5 py4j round-trips per bit x 64 bits plus ~8 per packed-word
+    # CASE arm — measured as the dominant build cost of q_dedup_simhash
+    # (1.9 s of a 3.2 s query). One expr parse per generated column keeps
+    # the identical analyzed tree (functions.vectors discipline).
     mixed = distinct.select(
         id_col,
         *[
-            ((F.lit(a) * F.col("__s") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-                f"__v{k}"
-            )
+            F.expr(f"({a} * __s + {b}) % {MINHASH_P} AS __v{k}")
             for k, (a, b) in enumerate(SIMHASH_MIX[:ndraws])
         ],
     )
     bit_counts = [
-        F.sum(
-            (
-                F.expr(
-                    f"__v{b // SIMHASH_BITS_PER_DRAW} div "
-                    f"{1 << (b % SIMHASH_BITS_PER_DRAW)}"
-                )
-                % 2
-            ).cast("int")
-        ).alias(f"__c{b}")
+        F.expr(
+            f"sum(CAST((__v{b // SIMHASH_BITS_PER_DRAW} div "
+            f"{1 << (b % SIMHASH_BITS_PER_DRAW)}) % 2 AS INT)) AS __c{b}"
+        )
         for b in range(bits)
     ]
     agged = mixed.groupBy(id_col).agg(F.count("*").alias("__n"), *bit_counts)
     words = []
     for w in range(simhash_words(bits)):
-        word = sum(
-            F.when(
-                F.col(f"__c{b}") * 2 > F.col("__n"),
-                F.lit(1 << (b - 32 * w)),
-            ).otherwise(0)
+        word_sql = " + ".join(
+            f"(CASE WHEN __c{b} * 2 > __n THEN {1 << (b - 32 * w)} "
+            f"ELSE 0 END)"
             for b in range(32 * w, min(32 * (w + 1), bits))
-        ).cast("bigint")
-        words.append(word.alias(f"sh{w}"))
+        )
+        words.append(F.expr(f"CAST({word_sql} AS BIGINT) AS sh{w}"))
     return agged.select(F.col(id_col), *words)
 
 
@@ -676,10 +673,10 @@ def simhash_dedup_pairs(
     base = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
     sig_cols = [f"sh{w}" for w in range(simhash_words(bits))]
     band_vals = [
-        (
-            (F.col(sig_cols[i // per_word]) / F.lit(1 << (band_bits * (i % per_word))))
-            .cast("bigint")
-            % F.lit(1 << band_bits)
+        F.expr(
+            f"CAST({sig_cols[i // per_word]} / "
+            f"{1 << (band_bits * (i % per_word))} AS BIGINT) "
+            f"% {1 << band_bits}"
         )
         for i in range(4)
     ]
@@ -700,9 +697,8 @@ def simhash_dedup_pairs(
         "band_idx",
         "band_val",
     )
-    hamming = sum(
-        F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
-        for c in sig_cols
+    hamming = F.expr(
+        " + ".join(f"bit_count({c}_a ^ {c}_b)" for c in sig_cols)
     )
     # merge hint: see lsh_candidate_pairs — lets the signature shuffle be
     # shared between the two sides instead of re-computed for a broadcast
@@ -755,7 +751,7 @@ def embedding_near_dup_pairs(
     base = df.select(
         F.col(id_col),
         blk.alias("__blk"),
-        V.normalize(V.as_double_array(vec_col)).alias("__v"),
+        V.normalize(V.s_as_double_array(vec_col)).alias("__v"),
     )
     parts = []
     for band in range(bands):
@@ -764,7 +760,7 @@ def embedding_near_dup_pairs(
             "__blk",
             "__v",
             hashed_hyperplane_bucket(
-                F.col("__v"), band, planes_per_band
+                "__v", band, planes_per_band
             ).alias("__bkt"),
         )
         a = banded.select(
@@ -787,7 +783,7 @@ def embedding_near_dup_pairs(
             .select(
                 "id_a",
                 "id_b",
-                F.round(V.dot(F.col("va"), F.col("vb")), 6).alias("cosine"),
+                F.round(V.dot("va", "vb"), 6).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
         )
@@ -811,8 +807,27 @@ def hashed_hyperplane_bucket(
     hashed pattern is effective at ANY plane index, so bands can stack
     arbitrarily many informative bits. Deterministic and seed-free;
     mirrored in SQL by plans.duck.d_hashed_bucket (sequential reduction,
-    int64 arithmetic — bit-identical across engines)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    int64 arithmetic — bit-identical across engines).
+
+    A str ``vec_col`` (SQL fragment) takes the single-expr string path —
+    n_planes lambda constructions collapse to one parse; the fragment
+    mirrors the Column algebra term for term (functions.vectors
+    discipline)."""
+    if isinstance(vec_col, str):
+        signs = []
+        for j in range(n_planes):
+            p = band * n_planes + j
+            proj = (
+                f"aggregate(zip_with({vec_col}, "
+                f"sequence(0, size({vec_col}) - 1), "
+                f"(x, i) -> CASE WHEN CAST((CAST(i AS BIGINT) * 1103515245"
+                f" + {p * 12345}) / 65536 AS BIGINT) % 2 = 0 "
+                f"THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END), "
+                f"0D, (acc, x) -> acc + x)"
+            )
+            signs.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(signs) + ")")
+    v = vec_col
 
     def signed_term(p: int):
         # exactly-two-arg lambda for zip_with; plane index bound via closure
@@ -840,8 +855,22 @@ def hashed_hyperplane_bucket(
 def random_hyperplane_block(vec_col: Column | str, n_planes: int = 8) -> Column:
     """Sign-of-projection LSH block: concatenated signs of the vector's
     first `n_planes` alternating-sum projections (deterministic, portable —
-    a fixed ±1 pattern per plane derived from element parity)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    a fixed ±1 pattern per plane derived from element parity). A str
+    ``vec_col`` (SQL fragment) takes the one-parse string path (same
+    algebra — see hashed_hyperplane_bucket)."""
+    if isinstance(vec_col, str):
+        signs = []
+        for p in range(n_planes):
+            proj = (
+                f"aggregate(zip_with({vec_col}, "
+                f"sequence(0, size({vec_col}) - 1), "
+                f"(x, i) -> CASE WHEN CAST(i / {2 ** p} AS BIGINT) % 2 = 0 "
+                f"THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END), "
+                f"0D, (acc, x) -> acc + x)"
+            )
+            signs.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(signs) + ")")
+    v = vec_col
 
     def signed_term(p: int):
         # exactly-two-arg lambda for zip_with; plane index bound via closure
@@ -904,7 +933,7 @@ def semdedup_keep(
     base = assigned.select(
         F.col(id_col).alias("__id"),
         F.col(cluster_col).alias("__cl"),
-        V.normalize(V.as_double_array(vec_col)).alias("__v"),
+        V.normalize(V.s_as_double_array(vec_col)).alias("__v"),
     ).repartition(shuffle_n, "__cl")
     # The assignment feeding `assigned` is typically n x k interpreted
     # array-distance work (ivf_assign); without a checkpoint the
@@ -924,7 +953,7 @@ def semdedup_keep(
             & (F.col("__id") < F.col("__id_b")),
         )
         .filter(
-            F.round(V.dot(F.col("__v"), F.col("__vb")), 6) > threshold
+            F.round(V.dot("__v", "__vb"), 6) > threshold
         )
         .select(F.col("__id_b").alias("__id"))
         .distinct()

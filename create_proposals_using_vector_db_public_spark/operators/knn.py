@@ -30,25 +30,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors as V
-from .plan_stats import plan_size_bytes
 
 _LOG = logging.getLogger(__name__)
 
 
-# Below this optimizer-estimated input size the parallelism guard is a
-# net loss: scheduling shuffle_n tasks per job costs ~0.1s while the
-# single-core interpreted-distance work on a sub-4MB vector table is of
-# the same order (measured: the always-on guard put 1.7x on
-# q_ann_ivf_kmeans's iterated jobs at driver sf0.1, 0.8MB of vectors,
-# while sf1's 5.3MB single-task assignment was already multi-second).
-_ENSURE_MIN_BYTES = 4 << 20
-
-
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's shuffle
-    parallelism when its plan is both big enough for the shuffle to pay
-    for itself (optimizer size estimate >= 4MB) and has fewer
-    partitions.
+    parallelism when its plan has fewer partitions.
 
     Vector operators are compute-dense but byte-light (k interpreted
     array distances per row over a few-hundred-byte row), so their map
@@ -59,11 +47,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     straggler. The guard only fires in that degenerate case (a 100 TB
     corpus already has more splits than cores) and the shuffle it adds
     moves each row once.
+
+    Round 13 removed the old 4MB optimizer-size floor: bytes are the
+    wrong proxy for compute-dense work (the floor kept every sub-4MB
+    vector table — including the sf0.1 bench corpus — serialized on one
+    core; firing the guard there measured q_semdedup 3.28 s -> 2.94 s
+    while the added exchange on genuinely tiny inputs costs ~0.05 s).
+    Skipping the optimizer-stats probe also removes a per-invocation
+    driver-side optimization pass on the guarded subtree. The loops that
+    must not re-pay the exchange per iteration already pass
+    ``ensure=False`` and guard once outside (kmeans_codebook), which is
+    what the historical 1.7x q_ann_ivf_kmeans regression — the original
+    motivation for the floor — actually came from.
     """
-    size = plan_size_bytes(df)
-    if size is not None and size < _ENSURE_MIN_BYTES:
-        return df
-    # stats unavailable -> fall through to the partition check
     shuffle_n = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -115,10 +111,22 @@ def knn(
     """
     if ensure:
         df = ensure_parallelism(df)
-    q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
-    emb = V.as_double_array(vec_col)
-    dist = V.l2_dist(emb, q)
-    cos = V.cosine_sim(emb, q)
+    # String fast path (see functions.vectors): a Sequence query becomes a
+    # SQL literal fragment and the distance expressions parse as ONE expr
+    # each instead of ~40 py4j lambda round-trips — same analyzed tree.
+    if isinstance(query_vec, Column):
+        emb = V.as_double_array(F.col(vec_col))
+        dist = V.l2_dist(emb, query_vec)
+        cos = V.cosine_sim(emb, query_vec)
+    else:
+        q_s = (
+            query_vec
+            if isinstance(query_vec, str)
+            else V.s_vec_lit(query_vec)
+        )
+        emb_s = V.s_as_double_array(vec_col)
+        dist = V.l2_dist(emb_s, q_s)
+        cos = V.cosine_sim(emb_s, q_s)
     if round_to is not None:
         dist = F.round(dist, round_to)
         # + 0.0 folds IEEE -0.0 (a tiny-negative cosine rounded to zero)
@@ -165,7 +173,7 @@ def knn_join(
         F.col(corpus_id_col), V.as_double_array(corpus_vec_col).alias("__cv")
     )
     joined = c.crossJoin(q).withColumn(
-        "dist", F.round(V.l2_dist(F.col("__cv"), F.col("__qv")), 6)
+        "dist", F.round(V.l2_dist("__cv", "__qv"), 6)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc_nulls_last(), F.col(corpus_id_col).asc()
@@ -229,7 +237,7 @@ def ivf_assign(
     scored = (
         corpus_df.withColumn("__v", emb)
         .crossJoin(cents)
-        .withColumn("__cdist", F.round(V.l2_dist(F.col("__v"), F.col("__cent")), 6))
+        .withColumn("__cdist", F.round(V.l2_dist("__v", "__cent"), 6))
     )
     best = scored.groupBy(id_col).agg(
         F.min_by(
@@ -271,9 +279,14 @@ def lsh_search(
     """
     from . import dedup as D
 
-    q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
+    q: Column | str = (
+        query_vec
+        if isinstance(query_vec, (Column, str))
+        else V.s_vec_lit(query_vec)
+    )
     blocked = corpus_df.withColumn(
-        "__blk", D.random_hyperplane_block(V.as_double_array(vec_col), n_planes)
+        "__blk",
+        D.random_hyperplane_block(V.s_as_double_array(vec_col), n_planes),
     )
     qblk = D.random_hyperplane_block(q, n_planes)
     if n_probe <= 1:
@@ -331,7 +344,7 @@ def ivf_search_join(
     )
     # probe set: n_probe nearest centroids per query (both sides tiny)
     qc = q.crossJoin(F.broadcast(cents)).withColumn(
-        "__qd", V.l2_dist(F.col("__qv"), F.col("__cent"))
+        "__qd", V.l2_dist("__qv", "__cent")
     )
     wp = Window.partitionBy(query_id_col).orderBy(
         F.col("__qd").asc_nulls_last(), F.col(centroid_id_col).asc()
@@ -351,7 +364,8 @@ def ivf_search_join(
     )
     cell = assigned.join(F.broadcast(probes), on=centroid_id_col, how="inner")
     scored = cell.withColumn(
-        "dist", F.round(V.l2_dist(V.as_double_array(vec_col), F.col("__qv")), 6)
+        "dist",
+        F.round(V.l2_dist(V.s_as_double_array(vec_col), "__qv"), 6),
     )
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc_nulls_last(), F.col(id_col).asc()
@@ -458,7 +472,7 @@ def kmeans_codebook(
 
 def probe_cells(
     centroids_df: DataFrame,
-    q: Column,
+    q: Column | str,
     n_probe: int,
     centroid_vec_col: str = "centroid_vec",
     centroid_id_col: str = "centroid_id",
@@ -468,10 +482,15 @@ def probe_cells(
     and IVFPQ use this helper; the batch form in :func:`ivf_search_join`
     is the per-query-window generalization). Deterministic tie-break on
     centroid id; NULL distances (malformed centroid vectors) sort last."""
+    qd = (
+        V.l2_dist(V.s_as_double_array(centroid_vec_col), q)
+        if isinstance(q, str)
+        else V.l2_dist(V.as_double_array(F.col(centroid_vec_col)), q)
+    )
     return (
         centroids_df.select(
             F.col(centroid_id_col),
-            V.l2_dist(V.as_double_array(centroid_vec_col), q).alias("__qd"),
+            qd.alias("__qd"),
         )
         .orderBy(F.col("__qd").asc_nulls_last(), F.col(centroid_id_col).asc())
         .limit(n_probe)
@@ -495,7 +514,11 @@ def ivf_search(
     pre-assigned and partitioned by ``centroid_id`` (see :func:`ivf_assign`),
     partition pruning makes this scan ``n_probe / n_centroids`` of the data.
     """
-    q = V.vec_lit(query_vec) if not isinstance(query_vec, Column) else query_vec
+    q: Column | str = (
+        query_vec
+        if isinstance(query_vec, (Column, str))
+        else V.s_vec_lit(query_vec)
+    )
     assigned = ivf_assign(
         corpus_df, centroids_df, vec_col, id_col, centroid_vec_col, centroid_id_col
     )
@@ -560,7 +583,7 @@ def pq_assign(
         codebook_df.select("s", "centroid_id", F.col("cv").alias("__cent"))
     )
     scored = subs_df.join(cents, "s").withColumn(
-        "__cdist", F.round(V.l2_dist(F.col("sv"), F.col("__cent")), 6)
+        "__cdist", F.round(V.l2_dist("sv", "__cent"), 6)
     )
     carried = [F.col("sv").alias("sv")] if keep_sv else []
     best = scored.groupBy(id_col, "s").agg(
@@ -649,14 +672,14 @@ def pq_adc_search(
     subs = pq_subvectors(corpus_df, n_sub, sub_dim, vec_col, id_col, ensure)
     codes = pq_assign(subs, codebook_df, id_col)
 
-    qv = V.vec_lit(list(query_vec))
+    q_s = V.s_vec_lit(list(query_vec))
     dt = F.broadcast(
         codebook_df.select(
             "s", "centroid_id",
             F.round(
                 V.l2_dist_sq(
-                    F.col("cv"),
-                    F.slice(qv, F.col("s") * sub_dim + 1, sub_dim),
+                    "cv",
+                    f"slice({q_s}, s * {int(sub_dim)} + 1, {int(sub_dim)})",
                 ),
                 6,
             )
@@ -696,7 +719,7 @@ def ivfpq_search(
     exactly FAISS's IVFPQ layout. Simplification vs FAISS: codes here
     quantize raw vectors, not cell residuals; residual encoding is the
     same pipeline with (vector − centroid) fed to pq_train/pq_assign."""
-    q = V.vec_lit(list(query_vec))
+    q = V.s_vec_lit(list(query_vec))
     assigned = ivf_assign(
         corpus_df, centroids_df, vec_col, id_col, centroid_vec_col,
         centroid_id_col,

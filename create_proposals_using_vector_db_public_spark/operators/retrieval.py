@@ -160,7 +160,7 @@ def mmr_select(
             rem.crossJoin(sel_vecs)
             .withColumn(
                 "__sim",
-                F.round(V.cosine_sim(F.col(vec_col), F.col("__semb")), 6),
+                F.round(V.cosine_sim(f"`{vec_col}`", "__semb"), 6),
             )
             .groupBy(id_col)
             .agg(F.max("__sim").alias("__ms"))

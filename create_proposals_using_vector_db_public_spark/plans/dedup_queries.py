@@ -564,10 +564,15 @@ def _pair_eval(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
     ).dropDuplicates(["id_a", "id_b"])
+    # the plan references the shingle table FOUR times (each with_true
+    # joins it on both pair sides), and Spark re-executes an un-exchanged
+    # subtree per consumer — the lazy localCheckpoint materializes the
+    # (doc_id, shingles) rows once per invocation (round-13 measurement:
+    # q_minhash_eval 2.90 s -> 2.24 s at sf0.1, hash-identical)
     sh = corpus.select(
         "doc_id",
         F.array_distinct(T.word_shingles("text", 3)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     def with_true(pairs: DataFrame) -> DataFrame:
         ni = F.size(F.array_intersect("sha", "shb"))
         nu = F.size("sha") + F.size("shb") - ni

@@ -156,7 +156,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(qv)
         .select(
             "doc_id",
-            F.round(V.l2_dist(F.col("emb"), F.col("qv")), 6).alias("dist"),
+            F.round(V.l2_dist("emb", "qv"), 6).alias("dist"),
         )
         .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
         .limit(_RRF_TOPK)
@@ -250,7 +250,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "emb",
-            (F.round(V.cosine_sim(F.col("emb"), F.col("qv")), 6) + 0.0)
+            (F.round(V.cosine_sim("emb", "qv"), 6) + 0.0)
             .alias("rel"),
         )
         .orderBy(F.col("rel").desc_nulls_last(), F.col("doc_id").asc())
@@ -318,8 +318,17 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     seeds = spark.createDataFrame([(t,) for t in _PRF_SEEDS], "term: string")
     # ONE tokenize/explode of the corpus, shared by both BM25 passes and
-    # the expansion mining — three corpus scans otherwise
-    terms = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # the expansion mining — three corpus scans otherwise. The plan
+    # references this subtree ~8 times (seed-pass tf/df/dl/stats, the
+    # mining tf/df, final-pass tf/df), and Spark re-executes a
+    # non-exchanged subtree once per consumer; the lazy localCheckpoint
+    # materializes the narrow (doc_id, term) rows once per invocation
+    # (round-13 measurement: 4.30 s -> 3.73 s at sf0.1, hash-identical).
+    # At scale this is the standard materialize-the-postings move — the
+    # checkpoint holds two small columns, never the documents.
+    terms = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).localCheckpoint(eager=False)
     prf = (
         R.bm25_scores(d, seeds, postings=terms)
         .select("doc_id", F.round("score", 6).alias("s"))
@@ -587,7 +596,7 @@ def q_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(qv)
         .select(
             "doc_id",
-            F.round(V.l2_dist(F.col("emb"), F.col("qv")), 6).alias("dist"),
+            F.round(V.l2_dist("emb", "qv"), 6).alias("dist"),
         )
         .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
         .limit(_E2E_TOPK)

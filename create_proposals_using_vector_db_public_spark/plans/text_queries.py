@@ -96,7 +96,7 @@ def q_stub_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("doc_id") == 0).select(F.col("emb").alias("qv"))
     scored = emb.crossJoin(F.broadcast(qv)).select(
         "doc_id",
-        F.round(V.l2_dist(F.col("emb"), F.col("qv")), 6).alias("dist"),
+        F.round(V.l2_dist("emb", "qv"), 6).alias("dist"),
     )
     top = scored.orderBy(F.col("dist").asc(), F.col("doc_id").asc()).limit(10)
     w = Window.orderBy(F.col("dist").asc(), F.col("doc_id").asc())

@@ -57,7 +57,7 @@ def q_udf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     model_possible = ml.model_path_possible()
     dim = ml.EMBED_DIM if model_possible else 64
     emb = ml.with_embeddings(d.select("doc_id", "text"), dim=dim)
-    norm = V.l2_norm(V.as_double_array("embedding"))
+    norm = V.l2_norm(V.s_as_double_array("embedding"))
     empty = F.col("text").isNull() | (F.length("text") == 0)
     # float32 storage: unit norm holds to ~1e-5 after the cast back up
     unit = F.abs(norm - 1.0) < 1e-4

@@ -104,10 +104,10 @@ def q_rank_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank() (gap semantics, ties share a rank) over L2 distance — R19
     generalized to a real window function."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = V.vec_lit(_query_vec(spark, sf_dir, 3))
+    qv = V.s_vec_lit(_query_vec(spark, sf_dir, 3))
     scored = emb.select(
         "vec_id",
-        F.round(V.l2_dist(V.as_double_array("embedding"), qv), 6).alias("dist"),
+        F.round(V.l2_dist(V.s_as_double_array("embedding"), qv), 6).alias("dist"),
     )
     # TakeOrdered top-20 FIRST (per-partition heaps, no global sort), then
     # rank within the 20 survivors — identical to ranking globally because
@@ -135,8 +135,8 @@ def q_vec_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zip_with/aggregate vector arithmetic (R17/R18 building blocks) over
     the whole table — stays entirely in whole-stage codegen."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = V.vec_lit(_query_vec(spark, sf_dir, 0))
-    e = V.as_double_array("embedding")
+    qv = V.s_vec_lit(_query_vec(spark, sf_dir, 0))
+    e = V.s_as_double_array("embedding")
     return emb.select(
         "vec_id",
         F.round(V.l2_norm(e), 6).alias("l2_norm"),
@@ -238,13 +238,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject shape: per-partition heaps on descending cosine,
     no global sort, no vector shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = V.vec_lit(_query_vec(spark, sf_dir, 42))
+    qv = V.s_vec_lit(_query_vec(spark, sf_dir, 42))
     scored = emb.select(
         "vec_id",
         "label",
-        (F.round(V.cosine_sim(V.as_double_array("embedding"), qv), 6) + 0.0).alias(
-            "cosine"
-        ),
+        (F.round(V.cosine_sim(V.s_as_double_array("embedding"), qv), 6) + 0.0)
+        .alias("cosine"),
     )
     top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())

@@ -150,33 +150,37 @@ def test_ivf_assign_deterministic_tiebreak(spark):
 
 
 def test_ensure_parallelism_guard_decisions(spark):
-    """The parallelism guard must (a) leave small plans untouched (the
-    shuffle would cost more than the single-split work it spreads), and
-    (b) make the same decision the old df.rdd probe made — the partition
-    count now comes from the plan's internal RDD, which must agree."""
+    """The parallelism guard must (a) repartition any under-parallel plan
+    up to the session's shuffle parallelism — round 13 removed the old
+    4MB size floor, bytes being the wrong proxy for compute-dense vector
+    work (the floor kept sub-4MB corpora serialized on one core) — and
+    (b) leave an already-parallel plan untouched, which is the 100 TB
+    case (more splits than cores) where the guard must stay a no-op."""
     import pyspark.sql.functions as F
 
     from create_proposals_using_vector_db_public_spark.operators import knn
 
-    small = spark.range(10).select(
-        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
-    )
-    # small estimate -> returned as-is. Assert on the LOGICAL node the
-    # guard would add ('Repartition'): an Exchange only exists in the
-    # physical plan, so grepping the optimized plan for it can never fail.
-    guarded = knn.ensure_parallelism(small)
-    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
-    assert "Repartition" not in plan, plan
-    # ...and the guard DOES add one when forced (probe/threshold inverted):
-    big = spark.range(0, 800000, 1, 1).select(
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-split input -> the guard adds the round-robin exchange even
+    # though the plan is tiny in bytes. Assert on the LOGICAL node the
+    # guard adds ('Repartition'): an Exchange only exists in the physical
+    # plan, so grepping the optimized plan for it can never fail.
+    narrow = spark.range(0, 800000, 1, 1).select(
         F.col("id").alias("vec_id"),
         F.array(*[F.lit(1.0)] * 64).alias("embedding"),
     )
-    forced = knn.ensure_parallelism(big)
+    forced = knn.ensure_parallelism(narrow)
     fplan = forced._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" in fplan, fplan
+    # already at (or above) the session's shuffle parallelism -> no-op
+    wide = spark.range(0, 1000, 1, shuffle_n).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    guarded = knn.ensure_parallelism(wide)
+    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan, plan
     # the plan-level partition probe agrees with the legacy Python-RDD one
-    for df in (small, spark.range(0, 100000, 1, 2).toDF("id")):
+    for df in (wide, spark.range(0, 100000, 1, 2).toDF("id")):
         plan_n = int(df._jdf.queryExecution().toRdd().getNumPartitions())
         assert plan_n == df.rdd.getNumPartitions()
 
