@@ -61,103 +61,90 @@ from . import (  # noqa: F401,E402
 # a driver run long enough to reach them has already re-verified every
 # oracle-bearing query first.
 _PRIORITY = [
-    # ---- round-13 window. Round 13 touches NO query code and NO oracle
-    # text (its only code delta is a timing-semantics version field in
-    # tools/semdedup_price.py — a measurement tool outside the registry),
-    # so there are no touched-query slots: the window is pure
-    # oldest-evidence-first rotation, exactly the round-12 verdict's
-    # prescription. ----
-    # ---- slots 1-14: the 14 remaining round-8 rows — the oldest driver
-    # evidence in the union (histogram after r12: r12x50 r11x47 r10x48
-    # r9x48-oracle-bearing r8x14, recomputed from CORRECTNESS_r01-r12
-    # this round). ----
-    "q_map_arrow", "q_map_ops", "q_multimodal_frames",
-    "q_multimodal_meta", "q_ols", "q_partitioned_sink",
-    "q_pq_recall", "q_quality_score", "q_rare_terms",
+    # ---- round-13 window (the first OPTIMIZATION round). Round 13
+    # changed plan construction and physical plans for performance —
+    # results proven identical (full-registry 211/211 --exact parity on
+    # final code, plus per-change hash checks) — so the window leads
+    # with the 40 oracle-bearing queries the round touched: the SemDeDup
+    # trio + graph family (new explicit-parallelism exchanges), the
+    # detector-pricing harness (checkpointed shingle table), the dedup
+    # detectors and knn/ann family (string-built expressions +
+    # parallelism guard), retrieval serving (MMR strings, postings
+    # checkpoint), and the stub-embedder users. Slots 41-50: the 10
+    # oldest remaining round-8 rows (evidence-union histogram recomputed
+    # in round 12); the 3 remaining round-8 rows sit right after the
+    # boundary, then rounds 9/10/11/12 strictly oldest-evidence-first.
+    # The rows-only four stay pinned at the very end per the round-10
+    # window policy. ----
+    "q_semdedup_sqrt", "q_semdedup_capped", "q_semdedup",
+    "q_pagerank", "q_graph_degree", "q_triangle_count",
+    "q_minhash_eval", "q_minhash_wide_eval", "q_simhash_eval",
+    "q_winnow_eval", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_incremental", "q_dedup_embedding", "q_knn",
+    "q_knn_cosine", "q_knn_join", "q_rank_l2",
+    "q_vec_math", "q_cosine_topk", "q_ann_ivf",
+    "q_ann_ivf_kmeans", "q_ann_lsh", "q_ann_pq",
+    "q_ann_ivfpq", "q_ann_recall", "q_ann_rerank",
+    "q_pq_recall", "q_sq_recall", "q_centroid_label",
+    "q_quantize_embedding", "q_rrf_fusion", "q_mmr_rerank",
+    "q_query_expansion", "q_e2e_rag", "q_stub_embed",
+    "q_stub_knn", "q_e2e_corpus", "q_pickle_roundtrip",
+    "q_pickle_stream", "q_map_arrow", "q_map_ops",
+    "q_multimodal_frames", "q_multimodal_meta", "q_ols",
+    "q_partitioned_sink", "q_quality_score", "q_rare_terms",
     "q_salted_join", "q_schema_evolution", "q_share_of_parent",
-    "q_skyline", "q_split_sections",
-    # ---- slots 15-50: the 36 oldest round-9 rows (registry-order
-    # stable within the round). ----
-    "q_graph_degree", "q_triangle_count", "q_pagerank",
-    "q_sq_recall", "q_stream_dedup", "q_stream_session",
-    "q_stream_sliding", "q_table_diff", "q_time_rollup",
-    "q_token_count", "q_transitions", "q_trigram_typicality",
-    "q_udf_arrow", "q_udf_groupnorm", "q_udtf_analyze",
-    "q_unpivot", "q_vocab_coverage", "q_yoy_growth",
-    "q_zorder_layout", "q_agg_distinct", "q_anti",
-    "q_array_ops", "q_asof_join", "q_bm25",
-    "q_bucketed_join", "q_corpus_shuffle", "q_cube",
-    "q_dedup_embedding", "q_dedup_fingerprint", "q_dedup_minhash",
-    "q_dedup_ngram", "q_dedup_url", "q_dsir_select",
-    "q_join_broadcast", "q_join_shuffle", "q_kw_fallback",
-    # ---- window boundary. Tail: every query below already has a green
-    # driver row; ordered strictly oldest-evidence-first (the 12
-    # remaining round-9 rows, then rounds 10, 11, 12) so extra driver
-    # slots always re-verify the stalest rows before the freshest —
-    # except the 4 oracle-less rows, pinned last per the window
-    # policy. ----
-    # remaining round-9 rows
-    "q_kw_stopfilter", "q_line_dedup", "q_multimodal_hist",
-    "q_negative_sample", "q_ngram_diversity", "q_outer",
-    "q_percentiles", "q_pivot", "q_prefix_complete",
-    "q_project", "q_prompt_template", "q_quantize_embedding",
-    # round-10 rows
-    "q_range_join", "q_reident_risk", "q_salted_agg",
-    "q_sample_hash", "q_scan_filter", "q_semi",
-    "q_sessionize", "q_sink_roundtrip", "q_stratified_sample",
-    "q_stream_tumbling", "q_stub_embed", "q_stub_knn",
-    "q_tfidf", "q_variant_json", "q_ann_ivf",
-    "q_ann_pq", "q_approx_distinct", "q_bloom_join",
+    "q_skyline", "q_split_sections", "q_stream_dedup",
+    "q_stream_session", "q_stream_sliding", "q_table_diff",
+    "q_time_rollup", "q_token_count", "q_transitions",
+    "q_trigram_typicality", "q_udf_arrow", "q_udf_groupnorm",
+    "q_udtf_analyze", "q_unpivot", "q_vocab_coverage",
+    "q_yoy_growth", "q_zorder_layout", "q_agg_distinct",
+    "q_anti", "q_array_ops", "q_asof_join",
+    "q_bm25", "q_bucketed_join", "q_corpus_shuffle",
+    "q_cube", "q_dedup_fingerprint", "q_dedup_ngram",
+    "q_dedup_url", "q_dsir_select", "q_join_broadcast",
+    "q_join_shuffle", "q_kw_fallback", "q_kw_stopfilter",
+    "q_line_dedup", "q_multimodal_hist", "q_negative_sample",
+    "q_ngram_diversity", "q_outer", "q_percentiles",
+    "q_pivot", "q_prefix_complete", "q_project",
+    "q_prompt_template", "q_range_join", "q_reident_risk",
+    "q_salted_agg", "q_sample_hash", "q_scan_filter",
+    "q_semi", "q_sessionize", "q_sink_roundtrip",
+    "q_stratified_sample", "q_stream_tumbling", "q_tfidf",
+    "q_variant_json", "q_approx_distinct", "q_bloom_join",
     "q_boilerplate_lines", "q_chunk_split", "q_corr_stats",
     "q_date_agg", "q_decontaminate", "q_dedup_anti",
     "q_dedup_content", "q_dedup_exact", "q_delete_rebuild",
-    "q_doc_scan", "q_dup_clusters", "q_e2e_corpus",
-    "q_except", "q_from_json", "q_full_outer",
-    "q_funnel", "q_fuzzy_match", "q_gap_fill",
-    "q_hash_antijoin", "q_incremental_agg", "q_intersect",
-    "q_json_props", "q_knn_cosine", "q_knn_join",
-    "q_minhash_wide_eval", "q_ntile", "q_pack_sequences",
-    "q_pii_scrub", "q_rank_l2", "q_repetition_ratio",
-    # round-11 rows
-    "q_retention", "q_rollup", "q_scd2",
-    "q_sha256", "q_stream_window", "q_string",
-    "q_temperature_sample", "q_topk_per_group", "q_union_incr",
-    "q_upsert", "q_vec_math", "q_window_range",
-    "q_window_running", "q_winnow_dups", "q_dedup_simhash",
-    "q_simhash_eval", "q_ann_ivf_kmeans", "q_ann_lsh",
-    "q_ann_recall", "q_event_pattern", "q_gopher_quality",
-    "q_k_anonymity", "q_lag_lead", "q_scalar_subquery",
-    "q_stream_join", "q_stream_stateful", "q_stream_stream_join",
-    "q_udf_trimmed_mean", "q_udtf_tokens", "q_agg_basic",
-    "q_ann_rerank", "q_anomaly", "q_avg_subquery",
+    "q_doc_scan", "q_dup_clusters", "q_except",
+    "q_from_json", "q_full_outer", "q_funnel",
+    "q_fuzzy_match", "q_gap_fill", "q_hash_antijoin",
+    "q_incremental_agg", "q_intersect", "q_json_props",
+    "q_ntile", "q_pack_sequences", "q_pii_scrub",
+    "q_repetition_ratio", "q_retention", "q_rollup",
+    "q_scd2", "q_sha256", "q_stream_window",
+    "q_string", "q_temperature_sample", "q_topk_per_group",
+    "q_union_incr", "q_upsert", "q_window_range",
+    "q_window_running", "q_winnow_dups", "q_event_pattern",
+    "q_gopher_quality", "q_k_anonymity", "q_lag_lead",
+    "q_scalar_subquery", "q_stream_join", "q_stream_stateful",
+    "q_stream_stream_join", "q_udf_trimmed_mean", "q_udtf_tokens",
+    "q_agg_basic", "q_anomaly", "q_avg_subquery",
     "q_bpe_encode", "q_cdc_apply", "q_cms_heavy",
     "q_compaction", "q_cust_no_orders", "q_dataset_card",
-    "q_dedup_incremental", "q_disjunct_filter", "q_e2e_rag",
-    "q_exists_corr", "q_forecast_revenue", "q_hll_merge",
-    "q_important_parts", "q_join_multiway",
-    # round-12 rows (freshest oracle-bearing — checked last; these are
-    # the 50 queries the round-12 window re-earned: the semdedup trio,
-    # the 15 round-7 rows, and the 32 round-8 rows)
-    "q_semdedup_sqrt", "q_semdedup_capped", "q_semdedup",
-    "q_knn", "q_large_orders", "q_market_share",
-    "q_min_cost_supplier", "q_minhash_eval", "q_mmr_rerank",
+    "q_disjunct_filter", "q_exists_corr", "q_forecast_revenue",
+    "q_hll_merge", "q_important_parts", "q_join_multiway",
+    "q_large_orders", "q_market_share", "q_min_cost_supplier",
     "q_nation_volume", "q_nested_in", "q_order_dist",
-    "q_pickle_roundtrip", "q_pickle_stream", "q_priority_mix",
-    "q_product_profit", "q_profile", "q_promo_share",
-    "q_query_expansion", "q_returned_items", "q_rrf_fusion",
-    "q_ship_priority", "q_snapshot_read", "q_sql_interface",
-    "q_supplier_cnt", "q_top_revenue", "q_waiting_supplier",
-    "q_window_suite", "q_winnow_eval", "q_zonemap_prune",
-    "q_ann_ivfpq", "q_approx_percentile", "q_bpe_merges",
-    "q_centroid_label", "q_chunk_fixed", "q_collocations",
-    "q_comma_parse", "q_contingency", "q_cosine_topk",
-    "q_domain_mix", "q_dq_audit", "q_ewma_smooth",
-    "q_format_roundtrip", "q_grouping_sets", "q_heavy_hitters",
-    "q_histogram", "q_interval_overlap", "q_inverted_search",
-    "q_ivm_join", "q_lang_id",
-    # ---- rows-only-by-design queries (no DuckDB oracle; a window slot
-    # here could only record `err: no_oracle`) — pinned at the tail per
-    # the round-10 window policy. ----
+    "q_priority_mix", "q_product_profit", "q_profile",
+    "q_promo_share", "q_returned_items", "q_ship_priority",
+    "q_snapshot_read", "q_sql_interface", "q_supplier_cnt",
+    "q_top_revenue", "q_waiting_supplier", "q_window_suite",
+    "q_zonemap_prune", "q_approx_percentile", "q_bpe_merges",
+    "q_chunk_fixed", "q_collocations", "q_comma_parse",
+    "q_contingency", "q_domain_mix", "q_dq_audit",
+    "q_ewma_smooth", "q_format_roundtrip", "q_grouping_sets",
+    "q_heavy_hitters", "q_histogram", "q_interval_overlap",
+    "q_inverted_search", "q_ivm_join", "q_lang_id",
     "q_multimodal_features", "q_udf_embed", "q_udf_embed_knn",
     "q_udf_keywords",
 ]
