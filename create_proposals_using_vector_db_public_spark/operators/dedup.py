@@ -935,12 +935,22 @@ def semdedup_keep(
         F.col(cluster_col).alias("__cl"),
         V.normalize(V.s_as_double_array(vec_col)).alias("__v"),
     ).repartition(shuffle_n, "__cl")
-    # The assignment feeding `assigned` is typically n x k interpreted
-    # array-distance work (ivf_assign); without a checkpoint the
-    # self-join below recomputes it on BOTH sides. Lazy localCheckpoint
-    # materializes it once (n rows of one vector each) — measured at the
-    # sf10 proof; eager=False keeps plan-build free of jobs.
-    base = base.localCheckpoint(eager=False)
+    # No checkpoint here (round 13): the three references to ``base``
+    # below (both pair-join sides + the anti-join's kept side) all sit
+    # on top of the SAME explicit repartition exchange, and Spark's
+    # exchange reuse collapses them to ONE shuffle at runtime — the
+    # n x k assignment is computed once, not three times (proven by
+    # timing at sf1: the whole keep step runs in ~2x the isolated
+    # assignment cost, where a triple recompute alone would exceed it).
+    # The old lazy localCheckpoint that used to guard the recompute was
+    # measured as pure overhead once the explicit repartition landed:
+    # fresh-process A/B at sf1 (20k vectors), order-reversed, read
+    # 33.0/30.2/42.8 s checkpointed vs 17.1/14.9/18.7-23.0 s without —
+    # the checkpoint serializes plan-build (AQE materializes every
+    # upstream stage before the first action), writes n vectors to
+    # block storage, and hides the assignment subtree's statistics from
+    # the planner. At sf0.1 the same A/B reads 2.9 -> 2.2 s. Results
+    # hash-identical at sf0.01/sf0.1/sf1.
     right = base.select(
         F.col("__id").alias("__id_b"),
         F.col("__cl").alias("__cl_b"),

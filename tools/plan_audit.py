@@ -44,6 +44,18 @@ ALLOW: dict[str, dict[str, str]] = {
         "the within-cluster pair stage is a SortMergeJoin on the "
         "cluster key"
     },
+    # same plan body as q_semdedup (round 13 removed the keep-stage
+    # checkpoint, so the assignment subtree — with its bounded broadcast
+    # cross join — is now visible in all three configs' rendered plans;
+    # exchange reuse executes it once)
+    "q_semdedup_capped": {
+        "nested_loop": "broadcast centroid-assignment cross join "
+        "(ivf_assign; same plan body as q_semdedup, capped ncent)"
+    },
+    "q_semdedup_sqrt": {
+        "nested_loop": "broadcast centroid-assignment cross join "
+        "(ivf_assign; same plan body as q_semdedup, sqrt ncent)"
+    },
     "q_ann_ivf_kmeans": {"nested_loop": "1-row query parameter"},
     "q_rrf_fusion": {
         "nested_loop": "1-row stub query vector + 1-row corpus stats "
