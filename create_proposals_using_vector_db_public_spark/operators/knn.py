@@ -34,9 +34,22 @@ from ..functions import vectors as V
 _LOG = logging.getLogger(__name__)
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ``df`` up to the session's shuffle
-    parallelism when its plan has fewer partitions.
+def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition ``df`` up to the session's shuffle parallelism when its
+    plan has fewer partitions — round-robin by default, hash-partitioned
+    on ``key`` when given.
+
+    Pass ``key`` when the caller's next wide operator groups by ``key``
+    (or a superset of it): hash partitioning on a grouping-key subset
+    satisfies the aggregate's required distribution, so the groupBy reuses
+    THIS exchange instead of adding its own (guide §2.4 — one exchange
+    where round-robin forced two). ``ivf_assign`` keys by the vector id
+    (its argmin groupBy is on the id) and ``pq_subvectors`` likewise (the
+    codeword argmin groups by (id, s), and the downstream ADC aggregate by
+    id — all satisfied by hash(id), so the whole PQ encode pipeline runs
+    in the one guard exchange). A unique id hashes uniformly, so the
+    keyed form keeps round-robin's balance without its per-task
+    sort-before-repartition pass.
 
     Vector operators are compute-dense but byte-light (k interpreted
     array distances per row over a few-hundred-byte row), so their map
@@ -86,6 +99,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             )
             return df
     if n_part < shuffle_n:
+        if key is not None:
+            return df.repartition(shuffle_n, key)
         return df.repartition(shuffle_n)
     return df
 
@@ -225,7 +240,10 @@ def ivf_assign(
     if stale:
         corpus_df = corpus_df.drop(*stale)
     if ensure:
-        corpus_df = ensure_parallelism(corpus_df)
+        # keyed by the id: the argmin groupBy below clusters on id_col, so
+        # the guard's exchange doubles as the aggregate's distribution —
+        # one shuffle of the corpus instead of round-robin + groupBy(id)
+        corpus_df = ensure_parallelism(corpus_df, key=id_col)
     cents = F.broadcast(
         centroids_df.select(
             F.col(centroid_id_col),
@@ -444,8 +462,10 @@ def kmeans_codebook(
     )
     # Guard the corpus ONCE outside the loop (the per-iteration form
     # re-paid the plan probe and exchange every Lloyd round — measured
-    # 1.7x on q_ann_ivf_kmeans at sf0.1).
-    corpus = ensure_parallelism(corpus_df.select(id_col, vec_col))
+    # 1.7x on q_ann_ivf_kmeans at sf0.1). Keyed by the id so every
+    # iteration's assignment groupBy(id) rides the guard exchange instead
+    # of adding its own n-row shuffle per Lloyd round.
+    corpus = ensure_parallelism(corpus_df.select(id_col, vec_col), key=id_col)
     for _ in range(iters):
         assigned = ivf_assign(
             corpus, cents, vec_col, id_col, centroid_vec_col,
@@ -553,7 +573,10 @@ def pq_subvectors(
     (the IVF-probed cell subset in :func:`ivfpq_search`).
     """
     if ensure:
-        df = ensure_parallelism(df)
+        # keyed by the id: pq_assign groups by (id, s) and the ADC score
+        # aggregate by id — hash(id) satisfies both, so the whole encode+
+        # score pipeline reuses this one exchange (guide §2.4)
+        df = ensure_parallelism(df, key=id_col)
     v = V.as_double_array(vec_col)
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),

@@ -37,6 +37,8 @@ def bm25_scores(
     k1: float = BM25_K1,
     b: float = BM25_B,
     postings: DataFrame | None = None,
+    doc_lens: DataFrame | None = None,
+    corpus_stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 score per document for a *dynamic* query-term set (a 1-column
     ``term`` DataFrame, always broadcast, deduplicated to IN-set
@@ -50,7 +52,11 @@ def bm25_scores(
     postings (|terms| per doc at most) ever aggregate. Pass ``postings``
     (an exploded (id, term) frame) when the caller runs several BM25
     passes over the same corpus — the tokenize/explode scan then happens
-    once, not per pass.
+    once, not per pass. ``doc_lens`` (id_col, dl) and ``corpus_stats``
+    (avgdl, n_docs — derived from the SAME doc-length table) likewise let
+    a multi-pass caller aggregate the corpus statistics once instead of
+    once per pass (round 14, guide §5 reuse: q_query_expansion ran this
+    aggregate three times over the same checkpointed postings).
     """
     terms = (
         postings
@@ -59,17 +65,29 @@ def bm25_scores(
             F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
         )
     )
-    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    dl = (
+        doc_lens
+        if doc_lens is not None
+        else terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    )
+    stats = (
+        corpus_stats
+        if corpus_stats is not None
+        else dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    )
     # distinct: the declared semantics are an IN-set (the oracles' WHERE
     # term IN ...); a duplicated input term must not double-count postings
     qterms = terms.join(
         F.broadcast(query_terms.select("term").distinct()), "term"
     )
     tf = qterms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = qterms.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
-    )
+    # df per term == COUNT(DISTINCT id) over the filtered postings == the
+    # number of (id, term) groups, i.e. tf's row count per term — deriving
+    # it from tf shares the filtered-postings scan + (id, term) exchange
+    # with the tf aggregate instead of re-scanning the postings for a
+    # second, distinct-expanded aggregation (round 14, guide §2.4; the
+    # integer is identical by definition, so scores are bit-identical)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -125,66 +143,89 @@ def mmr_select(
     cosine-similarity to the already-selected set. Returns (id, rel,
     mmr_rank).
 
-    The greedy loop is unrolled into the plan (one argmax + one bounded
-    join per step, like q_pagerank's unrolled iterations) — nothing is
-    collected to the driver. Candidates are top-k-bounded upstream, so
-    every step's join is tens-of-rows; lam=0.5 and the 6dp-rounded sims
-    make each step's argmax deterministic (ties on the rounded score break
-    by id). Each step's ``selected`` is localCheckpoint-ed (it is <= k
-    tiny rows): the loop body references it ~4 times, so an uncached
-    chain would grow the logical plan ~4^k and re-execute every prior
-    step — checkpointing keeps planning and execution linear in k.
-    eager=False so building/explaining the plan runs NO jobs (measured
-    equivalent to eager at k=8; an unchecked chain at k=8 hangs the
-    analyzer) — materialization happens at the first real action.
+    The candidate set is top-k-bounded upstream (tens of rows), so the
+    whole greedy loop fits in ONE expression: gather the candidates into
+    a single array row, then fold ``sequence(2, k)`` with nested
+    higher-order functions — each step scores the remaining candidates
+    against the selected prefix (max of 6dp-rounded cosines, NULL sims
+    skipped exactly like the aggregate MAX they replace) and appends the
+    argmax (ties on the rounded score break by id; a candidate whose
+    score is NULL — zero-norm vector against every selected item, or a
+    NULL relevance — is skipped). The selection array's position IS the
+    mmr_rank: a step that finds no scoreable candidate appends nothing,
+    and later steps then cannot either (same remaining set, same scores),
+    so ranks stay contiguous.
 
-    ``cand`` itself is also checkpointed: the loop references it 2x per
-    step, so an expensive upstream candidate pipeline (q_e2e_rag's full
-    gate→BM25→kNN→RRF chain) would otherwise re-execute ~2k times —
-    measured 737s → 15s at sf0.01 for the e2e composition."""
-    base = cand.select(id_col, vec_col, rel_col).localCheckpoint(eager=False)
-    selected = (
-        base.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
-        .limit(1)
-        .withColumn("mmr_rank", F.lit(1))
-        .localCheckpoint(eager=False)
+    Before round 14 this was an unrolled k-step driver loop — one
+    argmax job + one localCheckpoint per step, ~k sequential bounded
+    jobs whose cost was per-job fixed overhead, not compute (guide §1.2:
+    fix the distributed shape first). The fold computes the identical
+    algebra (same rounded-cosine, same tie-breaks, verified against the
+    unrolled form on ties/NULL-rel/zero-vector/short-candidate cases and
+    hash-exact vs the oracle) in one job: q_mmr_rerank 1.83 s → ~0.5 s,
+    and q_e2e_rag's expensive upstream is now referenced once, so its
+    candidate checkpoint is unnecessary too.
+
+    Scale: the single gathered row holds the top-k candidates (k ≤ tens),
+    bounded by construction — never corpus data."""
+    if k < 1:
+        raise ValueError(f"mmr_select needs k >= 1, got {k}")
+    i, v, r = f"`{id_col}`", f"`{vec_col}`", f"`{rel_col}`"
+    sim = f"round({V.s_cosine_sim('c.' + v, 's.' + v)}, 6)"
+    # max over the selected prefix of the rounded cosine, skipping NULLs —
+    # mirrors MAX(__sim)'s NULL semantics (NULL only when every sim is NULL)
+    ms = (
+        f"aggregate(acc, CAST(NULL AS DOUBLE), (m, s) -> "
+        f"CASE WHEN {sim} IS NULL THEN m "
+        f"WHEN m IS NULL OR {sim} > m THEN {sim} ELSE m END)"
     )
-    for step in range(2, k + 1):
-        sel_vecs = F.broadcast(
-            selected.select(
-                F.col(id_col).alias("__sid"), F.col(vec_col).alias("__semb")
-            )
-        )
-        rem = base.join(selected.select(id_col), id_col, "left_anti")
-        maxsim = (
-            rem.crossJoin(sel_vecs)
-            .withColumn(
-                "__sim",
-                F.round(V.cosine_sim(f"`{vec_col}`", "__semb"), 6),
-            )
-            .groupBy(id_col)
-            .agg(F.max("__sim").alias("__ms"))
-        )
-        nxt = (
-            rem.join(maxsim, id_col)
-            .withColumn(
-                "__score",
-                F.round(
-                    lam * F.col(rel_col) - (1.0 - lam) * F.col("__ms"), 6
-                ),
-            )
-            # a candidate whose similarity to EVERY selected item is
-            # undefined (zero-norm vector → NULL cosine → NULL max → NULL
-            # score) cannot be MMR-ranked — skip it explicitly. Without
-            # this filter the desc sort's NULLS-LAST would still pick such
-            # a row when it is the only candidate left, ranking it by id
-            # rather than by MMR (caught by the greedy-reference property
-            # test's zero-vector example).
-            .filter(F.col("__score").isNotNull())
-            .orderBy(F.col("__score").desc(), F.col(id_col).asc())
-            .limit(1)
-            .select(id_col, vec_col, rel_col)
-            .withColumn("mmr_rank", F.lit(step))
-        )
-        selected = selected.unionByName(nxt).localCheckpoint(eager=False)
-    return selected.select(id_col, rel_col, "mmr_rank")
+
+    def sc(ref: str) -> str:
+        """round(lam*rel − (1−lam)*maxsim, 6) for candidate ``ref`` — the
+        exact float algebra of the pre-round-14 per-step projection
+        (NULL rel or NULL maxsim both make the score NULL → skipped)."""
+        m = ms.replace("c.", f"{ref}.") if ref != "c" else ms
+        return f"round({lam!r}D * {ref}.{r} - {(1.0 - lam)!r}D * {m}, 6)"
+
+    # one greedy step: argmax score over the not-yet-selected candidates,
+    # as a 0-or-1-element array (empty when nothing is scoreable)
+    best = (
+        f"aggregate(cs, slice(cs, 1, 0), (b, c) -> CASE "
+        f"WHEN exists(acc, s -> s.{i} = c.{i}) THEN b "
+        f"WHEN {sc('c')} IS NULL THEN b "
+        f"WHEN size(b) = 0 THEN array(c) "
+        f"WHEN {sc('c')} > {sc('b[0]')} THEN array(c) "
+        f"WHEN {sc('c')} = {sc('b[0]')} AND c.{i} < b[0].{i} THEN array(c) "
+        f"ELSE b END)"
+    )
+    # first pick: pure relevance, DESC with NULLs last, ties by id —
+    # the fold mirror of ORDER BY rel DESC NULLS LAST, id ASC LIMIT 1
+    pick1 = (
+        f"aggregate(cs, slice(cs, 1, 0), (b, c) -> CASE "
+        f"WHEN size(b) = 0 THEN array(c) "
+        f"WHEN c.{r} IS NULL AND b[0].{r} IS NULL THEN "
+        f"IF(c.{i} < b[0].{i}, array(c), b) "
+        f"WHEN c.{r} IS NULL THEN b "
+        f"WHEN b[0].{r} IS NULL THEN array(c) "
+        f"WHEN c.{r} > b[0].{r} THEN array(c) "
+        f"WHEN c.{r} = b[0].{r} AND c.{i} < b[0].{i} THEN array(c) "
+        f"ELSE b END)"
+    )
+    # k == 1 must NOT fold: sequence(2, 1) is Spark's DESCENDING sequence
+    # [2, 1] — two spurious extra steps, not zero
+    sel = (
+        pick1
+        if k == 1
+        else f"aggregate(sequence(2, {int(k)}), {pick1}, "
+        f"(acc, st) -> concat(acc, {best}))"
+    )
+    gathered = cand.select(id_col, vec_col, rel_col).agg(
+        F.collect_list(F.struct(id_col, vec_col, rel_col)).alias("cs")
+    )
+    return gathered.select(
+        F.posexplode(F.expr(sel)).alias("__pos", "__s")
+    ).select(
+        F.col(f"__s.{i}").alias(id_col),
+        F.col(f"__s.{r}").alias(rel_col),
+        (F.col("__pos") + 1).cast("int").alias("mmr_rank"),
+    )

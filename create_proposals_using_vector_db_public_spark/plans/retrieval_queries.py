@@ -238,8 +238,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep 5 results maximizing 0.5*relevance − 0.5*max-similarity-to-kept —
     the classic fix for near-duplicate hit lists (a corpus that passed
     near-dup ingest dedup can still return 5 copies of the same boilerplate
-    for one query). Greedy loop unrolled into the plan; each step is an
-    argmax over <= 20 rows, nothing collected."""
+    for one query). The greedy loop runs as ONE fold expression
+    over the gathered top-20 candidate array (see mmr_select) — one job,
+    nothing collected to the driver."""
     d = load_table(spark, sf_dir, "documents")
     emb = T.stub_embeddings_df(d, "doc_id", "text")
     qv = F.broadcast(
@@ -326,21 +327,53 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-13 measurement: 4.30 s -> 3.73 s at sf0.1, hash-identical).
     # At scale this is the standard materialize-the-postings move — the
     # checkpoint holds two small columns, never the documents.
+    # NOT repartitioned before the explode: an r14 experiment hashed the
+    # documents by doc_id here (graph-family §2.4) so the checkpoint
+    # materializes in parallel and the doc_id aggregates skip their
+    # exchanges — measured WORSE (9.3 vs 5.3 s at sf0.1, task_time 28 →
+    # 150 s): every broadcast-subquery below re-executes its subtree, and
+    # a 32-partition checkpoint multiplies each re-execution's task count
+    # by 32 while the per-task work is microseconds. The 1-3-split
+    # materialization is the cheaper side of that trade at bench scale,
+    # and at 100 TB the scan has more splits than cores anyway.
     terms = d.select(
         "doc_id", F.explode(T.tokens("text")).alias("term")
     ).localCheckpoint(eager=False)
+    # Corpus statistics ONCE (round 14, guide §5 reuse / VERDICT r13
+    # item 2): the per-doc length table and its (avgdl, n_docs) summary
+    # are identical for the seed pass, the expansion mining, and the
+    # final pass — before this the dl aggregate ran three times over the
+    # checkpointed postings. dl is |docs| rows (bounded like the postings
+    # checkpoint below); the 1-row stats recompute from materialized dl
+    # per consumer, which is trivial.
+    # NOT checkpointed: the three dl consumers sit on identical canonical
+    # aggregate subtrees over the checkpointed postings, so exchange reuse
+    # collapses their shuffles, while a checkpoint here serializes a
+    # barrier AQE otherwise overlaps (measured: checkpointed dl 5.0 s vs
+    # shared-lazy dl — see OPTIMIZATION_r14.md; same trap as the rejected
+    # q_e2e_rag subtree checkpoints in round 13).
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
     prf = (
-        R.bm25_scores(d, seeds, postings=terms)
+        R.bm25_scores(d, seeds, postings=terms, doc_lens=dl, corpus_stats=stats)
         .select("doc_id", F.round("score", 6).alias("s"))
         .orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(_PRF_DOCS)
         .select("doc_id")
+        # 3 rows. Un-checkpointed, the broadcast below re-runs the whole
+        # seed BM25 pass once per prf_tf re-execution (round 14: prf_tf
+        # itself is referenced twice, so the seed pass executed ~3x)
+        .localCheckpoint(eager=False)
     )
     prf_tf = (
         terms.join(F.broadcast(prf), "doc_id")
         .filter(~F.col("term").isin(*_PRF_SEEDS))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
+        # |terms in 3 docs| rows (hundreds); referenced by cand_terms'
+        # broadcast AND the expansion join — one materialization, not two
+        # postings re-scans (round 14, guide §5 reuse)
+        .localCheckpoint(eager=False)
     )
     cand_terms = prf_tf.select("term").distinct()
     cand_df = (
@@ -348,8 +381,6 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
-    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
     expansion = (
         prf_tf.join(F.broadcast(cand_df), "term")
         .crossJoin(F.broadcast(stats))
@@ -371,10 +402,13 @@ def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("m").desc(), F.col("term").asc())
         .limit(_PRF_EXPAND)
         .select("term")
+        # 2 rows: the final pass's term-set broadcast must not re-run the
+        # whole mining chain (round 14, guide §5 reuse)
+        .localCheckpoint(eager=False)
     )
     q2 = seeds.unionByName(expansion)
     top = (
-        R.bm25_scores(d, q2, postings=terms)
+        R.bm25_scores(d, q2, postings=terms, doc_lens=dl, corpus_stats=stats)
         .select("doc_id", F.round("score", 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(10)
