@@ -41,7 +41,12 @@ def main() -> None:
 
     df = QUERIES["q_semdedup"](spark, sf_dir)
     t0 = time.time()
-    n = df.count()
+    # collect() (not count()) so THIS DataFrame's queryExecution is the
+    # one that runs — count() spawns a separate execution and leaves
+    # df's own plan un-adapted (isFinalPlan=false, no query stages).
+    # The kept set is (vec_id, centroid_id) pairs — bounded driver-side
+    # for a proof tool; the declared query itself never collects.
+    n = len(df.collect())
     wall = time.time() - t0
     executed = df._jdf.queryExecution().executedPlan().toString()
 
